@@ -1,0 +1,59 @@
+"""Shared residual blocks and the motion-compensation refinement net.
+
+- ResBlock: pre-activation 2-conv residual block (models.py:771-794)
+- WarpNet:  U-shaped MC refinement net (Warp_net, models.py:796-830): 3 scales,
+  avg-pool down / bilinear(align_corners=True) up with additive skips.
+- motion_compensation: warp + refine glue (models.py:889-893).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fvc.ops.conv import Conv
+from fvc.ops.resize import avg_pool2, upsample2x
+from fvc.ops.warp import flow_warp
+
+
+class ResBlock(nn.Module):
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        y = jax.nn.relu(x)
+        y = Conv(self.features, kernel=self.kernel)(y)
+        y = jax.nn.relu(y)
+        y = Conv(self.features, kernel=self.kernel)(y)
+        if x.shape[-1] != self.features:
+            x = Conv(self.features, kernel=1)(x)
+        return x + y
+
+
+class WarpNet(nn.Module):
+    """MC refinement: input cat(warped, ref) [B,H,W,6] -> residual [B,H,W,3]."""
+
+    channels: int = 64
+    out_features: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        f = jax.nn.relu(Conv(self.channels, kernel=3)(x))
+        c0 = ResBlock(self.channels)(f)
+        c1 = ResBlock(self.channels)(avg_pool2(c0))
+        c2 = ResBlock(self.channels)(avg_pool2(c1))
+        c3 = ResBlock(self.channels)(c2)
+        c3u = c1 + upsample2x(c3, align_corners=True)
+        c4 = ResBlock(self.channels)(c3u)
+        c4u = c0 + upsample2x(c4, align_corners=True)
+        c5 = ResBlock(self.channels)(c4u)
+        return Conv(self.out_features, kernel=3)(c5)
+
+
+def motion_compensation(warpnet_apply, ref, mv):
+    """warped = warp(ref, mv); MC = warpnet(cat(warped, ref)) + warped."""
+    warped = flow_warp(ref, mv)
+    refined = warpnet_apply(jnp.concatenate([warped, ref], axis=-1))
+    return refined + warped, warped

@@ -1,0 +1,42 @@
+"""Generalized Divisive Normalization (GDN / IGDN).
+
+Reference: DVC/subnet/GDN.py:26-93. y_i = x_i / sqrt(beta_i + sum_j gamma_ji x_j^2)
+with sqrt-reparameterized beta/gamma, pedestal 2^-36, and the LowerBound
+pass-through gradient (fvc.ops.math.lower_bound).
+
+TPU note: the norm pool is a 1x1 conv over x^2 — a pure MXU matmul — followed by
+rsqrt; XLA fuses the elementwise tail, so no hand-written kernel is needed here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from fvc.ops.math import lower_bound
+
+
+class GDN(nn.Module):
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    reparam_offset: float = 2 ** -18
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        pedestal = self.reparam_offset ** 2
+        beta_bound = (self.beta_min + pedestal) ** 0.5
+        gamma_bound = self.reparam_offset
+
+        beta = self.param(
+            "beta", lambda _: jnp.sqrt(jnp.ones((ch,)) + pedestal))
+        gamma = self.param(
+            "gamma", lambda _: jnp.sqrt(self.gamma_init * jnp.eye(ch) + pedestal))
+
+        beta = lower_bound(beta, beta_bound) ** 2 - pedestal
+        gamma = lower_bound(gamma, gamma_bound) ** 2 - pedestal
+
+        # norm pool: [.., ch] @ [ch, ch] on the MXU
+        norm = jnp.sqrt(jnp.square(x) @ gamma + beta)
+        return x * norm if self.inverse else x / norm

@@ -1,0 +1,81 @@
+"""MS-SSIM metric/loss in pure JAX.
+
+Implements the math specified by the reference's DVC/subnet/ms_ssim_torch.py:36-197
+(and pytorch_msssim used at models.py:475-487): 11x11 Gaussian window sigma 1.5,
+K=(0.01, 0.03), 5 scales with weights [0.0448, 0.2856, 0.3001, 0.2363, 0.1333],
+2x avg-pool between scales, product of contrast-structure terms times the final
+luminance term. Inputs NHWC in [0, 1].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5, dtype=jnp.float32):
+    x = jnp.arange(size, dtype=dtype) - (size - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    return g / jnp.sum(g)
+
+
+def _filter2d_sep(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Depthwise separable valid-conv with the 1-D window along H then W."""
+    C = x.shape[-1]
+    dn = ("NHWC", "HWIO", "NHWC")
+    kh = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, C))
+    kw = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, C))
+    y = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=dn, feature_group_count=C)
+    return jax.lax.conv_general_dilated(y, kw, (1, 1), "VALID",
+                                        dimension_numbers=dn, feature_group_count=C)
+
+
+def _ssim_terms(x, y, k, data_range=1.0, K=(0.01, 0.03)):
+    c1 = (K[0] * data_range) ** 2
+    c2 = (K[1] * data_range) ** 2
+    mu_x = _filter2d_sep(x, k)
+    mu_y = _filter2d_sep(y, k)
+    mu_xx = mu_x * mu_x
+    mu_yy = mu_y * mu_y
+    mu_xy = mu_x * mu_y
+    sigma_xx = _filter2d_sep(x * x, k) - mu_xx
+    sigma_yy = _filter2d_sep(y * y, k) - mu_yy
+    sigma_xy = _filter2d_sep(x * y, k) - mu_xy
+    cs = (2.0 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
+    ssim = ((2.0 * mu_xy + c1) / (mu_xx + mu_yy + c1)) * cs
+    return jnp.mean(ssim, axis=(1, 2, 3)), jnp.mean(cs, axis=(1, 2, 3))
+
+
+def _pad_reflect_pool(x):
+    """avg_pool2d(2,2) with single-pixel reflect pad for odd sizes."""
+    _, h, w, _ = x.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    win = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return win * 0.25
+
+
+def ms_ssim(x: jax.Array, y: jax.Array, data_range: float = 1.0) -> jax.Array:
+    """Per-batch-element MS-SSIM. x, y: [B,H,W,C] in [0, data_range]."""
+    k = _gaussian_window(dtype=x.dtype)
+    levels = len(_WEIGHTS)
+    weights = jnp.asarray(_WEIGHTS, x.dtype)
+    mcs = []
+    for i in range(levels):
+        ssim_val, cs = _ssim_terms(x, y, k, data_range)
+        if i < levels - 1:
+            mcs.append(jax.nn.relu(cs))
+            x = _pad_reflect_pool(x)
+            y = _pad_reflect_pool(y)
+    mcs_stack = jnp.stack(mcs + [jax.nn.relu(ssim_val)], axis=0)  # [L, B]
+    return jnp.prod(mcs_stack ** weights[:, None], axis=0)
+
+
+def ms_ssim_db(x: jax.Array, y: jax.Array) -> jax.Array:
+    """-10 log10(1 - msssim), the reference's MS-SSIM "quality" (models.py:475-487)."""
+    q = ms_ssim(x, y)
+    return -10.0 * jnp.log(jnp.maximum(1.0 - q, 1e-12)) / jnp.log(10.0)

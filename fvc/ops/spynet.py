@@ -1,0 +1,85 @@
+"""SpyNet pyramidal optical flow (ME_Spynet, models.py:833-887).
+
+4-level coarse-to-fine estimation: 2x avg-pool pyramid; at each level a 5-conv
+(7x7) MEBasic refines the 2x-upsampled coarser flow given
+cat(ref, warp(target, flow_up), flow_up).
+
+The whole pyramid is shape-static and batch-parallel — on TPU all frames of a
+GOP run as one batch through each level (the LSVC batched-flow path,
+models.py:1354).
+
+Pretrained weights: the reference ships SpyNet conv weights as .npy (OIHW) in
+DVC/flow_pretrain_np (loaded at DVC/subnet/endecoder.py:122-139); `load_npy_weights`
+converts them into this module's param pytree (HWIO) for golden parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fvc.ops.conv import Conv
+from fvc.ops.resize import avg_pool2, upsample2x
+from fvc.ops.warp import flow_warp
+
+
+class MEBasic(nn.Module):
+    """8 -> 32 -> 64 -> 32 -> 16 -> 2, all 7x7 stride 1."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = jax.nn.relu(Conv(32, kernel=7)(x))
+        x = jax.nn.relu(Conv(64, kernel=7)(x))
+        x = jax.nn.relu(Conv(32, kernel=7)(x))
+        x = jax.nn.relu(Conv(16, kernel=7)(x))
+        return Conv(2, kernel=7)(x)
+
+
+class SpyNet(nn.Module):
+    levels: int = 4
+
+    @nn.compact
+    def __call__(self, im1, im2):
+        """Flow that warps im2 toward im1 (reference call order
+        opticFlow(Y1_raw, Y0_com), models.py:989). NHWC in, [B,H,W,2] out."""
+        pyr1 = [im1]
+        pyr2 = [im2]
+        for _ in range(self.levels - 1):
+            pyr1.append(avg_pool2(pyr1[-1]))
+            pyr2.append(avg_pool2(pyr2[-1]))
+
+        b = im1.shape[0]
+        h, w = pyr1[-1].shape[1] // 2, pyr1[-1].shape[2] // 2
+        flow = jnp.zeros((b, h, w, 2), im1.dtype)
+        for lvl in range(self.levels):
+            flow_up = upsample2x(flow, align_corners=False) * 2.0
+            ref = pyr1[self.levels - 1 - lvl]
+            tgt = pyr2[self.levels - 1 - lvl]
+            inp = jnp.concatenate([ref, flow_warp(tgt, flow_up), flow_up], axis=-1)
+            flow = flow_up + MEBasic(name=f"level{lvl}")(inp)
+        return flow
+
+
+def load_npy_weights(params: dict, weights_dir: str) -> dict:
+    """Graft the reference's pretrained SpyNet .npy weights (OIHW + bias) into a
+    SpyNet param pytree. Level l, conv k maps to modelL{l+1}_F-{k+1}-{weight,bias}.npy.
+    Returns a new pytree; raises FileNotFoundError if the directory is missing."""
+    if not os.path.isdir(weights_dir):
+        raise FileNotFoundError(weights_dir)
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    for lvl in range(4):
+        level = params[f"level{lvl}"]
+        for k in range(5):
+            w = np.load(os.path.join(weights_dir, f"modelL{lvl + 1}_F-{k + 1}-weight.npy"))
+            b = np.load(os.path.join(weights_dir, f"modelL{lvl + 1}_F-{k + 1}-bias.npy"))
+            conv = level[f"Conv_{k}"]
+            conv["kernel"] = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))  # OIHW->HWIO
+            conv["bias"] = jnp.asarray(b)
+    return params
+
+
+DEFAULT_WEIGHTS_DIR = "/root/reference/DVC/flow_pretrain_np/"

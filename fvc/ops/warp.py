@@ -1,0 +1,167 @@
+"""Backward warping (grid_sample-equivalent) and scale-space warping.
+
+`flow_warp` reproduces the reference's torch_warp (models.py:730-747) bit-close:
+a normalized [-1,1] base grid plus flow/((S-1)/2), sampled by
+F.grid_sample(mode='bilinear', padding_mode='border', align_corners=False).
+Folding the normalization through grid_sample's unnormalize step, the effective
+source pixel for output (i, j) with flow (u, v) in pixels is
+
+    px = (j + u) * W/(W-1) - 0.5,   py = (i + v) * H/(H-1) - 0.5
+
+clamped to the image (border padding), then bilinearly interpolated. We compute
+that directly in pixel space — one fused gather, no normalized-coordinate
+round-trip.
+
+`scale_space_warp` implements the SSF trilinear lookup (compressai ssf2020
+semantics used by ELFVC/MCVC, models.py:1866+): a Gaussian scale-space volume
+indexed by (flow, scale) with border padding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_2d(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+    """img: [B,H,W,C]; iy/ix: [B,Ho,Wo] int32 (already clipped). -> [B,Ho,Wo,C]"""
+    B, H, W, C = img.shape
+    flat = img.reshape(B, H * W, C)
+    idx = (iy * W + ix).reshape(B, -1)  # [B, Ho*Wo]
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return out.reshape(B, iy.shape[1], iy.shape[2], C)
+
+
+def _bilinear_gather(img: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
+    """Bilinear sample img [B,H,W,C] at float pixel coords py/px [B,Ho,Wo],
+    border-clamped (grid_sample padding_mode='border')."""
+    _, H, W, _ = img.shape
+    px = jnp.clip(px, 0.0, W - 1.0)
+    py = jnp.clip(py, 0.0, H - 1.0)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = (px - x0)[..., None]
+    wy = (py - y0)[..., None]
+    ix0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    iy0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    ix1 = jnp.minimum(ix0 + 1, W - 1)
+    iy1 = jnp.minimum(iy0 + 1, H - 1)
+    v00 = _gather_2d(img, iy0, ix0)
+    v01 = _gather_2d(img, iy0, ix1)
+    v10 = _gather_2d(img, iy1, ix0)
+    v11 = _gather_2d(img, iy1, ix1)
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
+def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """Backward-warp `img` [B,H,W,C] by `flow` [B,H,W,2] (pixels, (u=x, v=y)).
+
+    Matches torch_warp / F.grid_sample(bilinear, border, align_corners=False)
+    at models.py:730-747.
+    """
+    _, H, W, _ = img.shape
+    j = jnp.arange(W, dtype=flow.dtype)[None, None, :]
+    i = jnp.arange(H, dtype=flow.dtype)[None, :, None]
+    u = flow[..., 0]
+    v = flow[..., 1]
+    # grid_sample(align_corners=False) unnormalization folded into pixel space
+    px = (j + u) * (W / (W - 1.0)) - 0.5
+    py = (i + v) * (H / (H - 1.0)) - 0.5
+    return _bilinear_gather(img, py, px)
+
+
+# ---------------------------------------------------------------------------
+# Scale-space (SSF) warping
+# ---------------------------------------------------------------------------
+
+def gaussian_kernel1d(sigma: float, radius: int, dtype=jnp.float32) -> jax.Array:
+    x = jnp.arange(-radius, radius + 1, dtype=dtype)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(x: jax.Array, sigma: float) -> jax.Array:
+    """Separable Gaussian blur, kernel size 2*ceil(3*sigma)+1, SAME padding."""
+    radius = int(jnp.ceil(3.0 * sigma))
+    k = gaussian_kernel1d(sigma, radius, x.dtype)
+    C = x.shape[-1]
+    kh = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, C))
+    kw = jnp.tile(k.reshape(1, -1, 1, 1), (1, 1, 1, C))
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), ((radius, radius), (0, 0)),
+        dimension_numbers=dn, feature_group_count=C)
+    y = jax.lax.conv_general_dilated(
+        y, kw, (1, 1), ((0, 0), (radius, radius)),
+        dimension_numbers=dn, feature_group_count=C)
+    return y
+
+
+def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
+    """Progressive blur/downsample pyramid re-upsampled into a [B,D,H,W,C]
+    scale-space volume, D = num_levels + 1 (level 0 = identity)."""
+    from fvc.ops.resize import avg_pool2, bilinear_resize
+
+    _, H, W, _ = x.shape
+    vol = [x]
+    y = gaussian_blur(x, sigma0)
+    vol.append(y)
+    for i in range(1, num_levels):
+        y = avg_pool2(y)
+        y = gaussian_blur(y, sigma0)
+        vol.append(bilinear_resize(y, H, W, align_corners=False))
+    return jnp.stack(vol, axis=1)
+
+
+def scale_space_warp(volume: jax.Array, flow: jax.Array, scale: jax.Array) -> jax.Array:
+    """Trilinear lookup into scale-space `volume` [B,D,H,W,C].
+
+    flow:  [B,H,W,2] normalized offsets added to the [-1,1] base grid (SSF keeps
+           flow in normalized units).
+    scale: [B,H,W]   normalized depth coordinate in [-1,1].
+
+    grid_sample(align_corners=False, border) 3-D semantics: depth handled as a
+    lerp between two bilinear slice samples.
+    """
+    B, D, H, W, C = volume.shape
+    j = jnp.arange(W, dtype=flow.dtype)[None, None, :]
+    i = jnp.arange(H, dtype=flow.dtype)[None, :, None]
+    # base grid in normalized coords (align_corners=False unnormalize)
+    gx = (2.0 * j + 1.0) / W - 1.0 + flow[..., 0]
+    gy = (2.0 * i + 1.0) / H - 1.0 + flow[..., 1]
+    px = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1.0)
+    py = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1.0)
+    pz = jnp.clip(((scale + 1.0) * D - 1.0) * 0.5, 0.0, D - 1.0)
+
+    z0 = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, D - 1)
+    z1 = jnp.minimum(z0 + 1, D - 1)
+    wz = (pz - z0.astype(flow.dtype))[..., None]
+
+    # Bilinear sample each depth slice with per-pixel dynamic slice selection:
+    # gather over combined (depth, space) index into the flattened volume.
+    flat = volume.reshape(B, D * H * W, C)
+
+    def sample_at(zi):
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        wx = (px - x0)[..., None]
+        wy = (py - y0)[..., None]
+        ix0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+        iy0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+        ix1 = jnp.minimum(ix0 + 1, W - 1)
+        iy1 = jnp.minimum(iy0 + 1, H - 1)
+
+        def g(iy, ix):
+            idx = (zi * H * W + iy * W + ix).reshape(B, -1)
+            out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            return out.reshape(B, H, W, C)
+
+        top = g(iy0, ix0) + (g(iy0, ix1) - g(iy0, ix0)) * wx
+        bot = g(iy1, ix0) + (g(iy1, ix1) - g(iy1, ix0)) * wx
+        return top + (bot - top) * wy
+
+    near = sample_at(z0)
+    far = sample_at(z1)
+    return near + (far - near) * wz
