@@ -1,0 +1,91 @@
+"""Typed configuration — replaces the reference's argparse + model-name-suffix
+flag system (SURVEY §5 "Config / flag system") with one dataclass.
+
+Rate-control ladders come from init_training_params (models.py:68-86):
+λ ladder [256..65536] (PSNR) / [8,16,32,64] (MS-SSIM), BPG I-frame QP ladder
+[37,32,27,22,17,12,7,2,1].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+PSNR_LAMBDAS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+MSSSIM_LAMBDAS = (8, 16, 32, 64)
+I_LEVELS = (37, 32, 27, 22, 17, 12, 7, 2, 1)
+
+# DVC-subnet channel constants (DVC/subnet/basics.py:23-27)
+OUT_CHANNEL_N = 64    # hyper latent channels
+OUT_CHANNEL_M = 96    # residual latent channels
+OUT_CHANNEL_MV = 128  # motion latent channels
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Uniform codec configuration.
+
+    `name` keeps reference-compatible strings (DVC, RLVC, RLVC2, LSVC-A, LSVC-L,
+    LSVC-O, LSVC-D, LSVC-128, Base, Base-EC, Base-ER, SSF, ELFVC, ELFVC-SP,
+    MCVC-Original, MCVC-IA, MCVC-IA-OLFT) but every suffix is also an explicit
+    field here.
+    """
+
+    name: str = "DVC"
+    loss_type: str = "P"              # 'P' (PSNR/MSE) or 'M' (MS-SSIM)
+    compression_level: int = 2
+    channels: int = 128               # Coder2D latent channels
+
+    # LSVC variants (models.py:1161-1166)
+    use_attn: bool = False            # '-A' encoder attention
+    use_syn_attn: bool = False        # '-S' decoder attention
+    linear_chain: bool = False        # '-L'
+    one_hop: bool = False             # '-O'
+    detach_tree_refs: bool = False    # '-D'
+
+    # ELFVC (models.py:2002)
+    super_precision: bool = False     # '-SP'
+    sp_stage: int = 1                 # staged training phase (models.py:2010)
+
+    # MCVC (models.py:2240-2295)
+    num_views: int = 0
+    resilience: int = 0
+    failure_probability: float = 0.1
+    force_resilience: int = -1
+    sample_ratio: float = 0.1         # OLFT touch-up fraction
+    olft: bool = False                # '-OLFT'
+    imbalanced_attention: bool = True # '-IA'
+
+    # GOP structure
+    gop_size: int = 16
+    frame_h: int = 256
+    frame_w: int = 256
+
+    # precision policy: params fp32; activations bf16 on TPU, fp32 on CPU tests
+    compute_dtype: str = "float32"
+
+    @property
+    def rate_lambda(self) -> float:
+        ladder = PSNR_LAMBDAS if self.loss_type == "P" else MSSSIM_LAMBDAS
+        return float(ladder[self.compression_level])
+
+    @property
+    def i_level(self) -> int:
+        return I_LEVELS[self.compression_level]
+
+    @staticmethod
+    def from_name(name: str, **kw) -> "CodecConfig":
+        """Parse reference-style name suffixes into explicit fields."""
+        updates = dict(name=name)
+        if "LSVC" in name:
+            updates.update(
+                use_attn="-A" in name, use_syn_attn="-S" in name,
+                linear_chain="-L" in name, one_hop="-O" in name,
+                detach_tree_refs="-D" in name,
+                channels=128 if "-128" in name else OUT_CHANNEL_M)
+        if "ELFVC" in name:
+            updates.update(super_precision="-SP" in name)
+        if "MCVC" in name:
+            updates.update(imbalanced_attention="-IA" in name, olft="-OLFT" in name)
+        updates.update(kw)
+        return CodecConfig(**updates)

@@ -1,0 +1,93 @@
+"""Scale-Space Flow codec base (SSF / "SSF-Official" equivalent).
+
+The reference uses compressai's pretrained ssf2020 as an anchor and as the base
+class of ELFVC and MCVC (models.py:41-46, 1866, 2240). This is the TPU-native
+re-implementation: keyframe branch (img AE + hyperprior), inter branch (motion
+AE coding cat(x_cur, x_ref), scale-space warping prediction, residual AE
+conditioned on the motion latent).
+
+Scale-space warping: Gaussian volume (sigma0=1.5, 5 levels) + trilinear lookup
+(fvc.ops.warp.gaussian_volume / scale_space_warp).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from fvc.entropy.hyperprior import SSFHyperprior
+from fvc.models.iframe import SSFDecoder, SSFEncoder
+from fvc.ops.math import bits_from_likelihood, psnr
+from fvc.ops.warp import gaussian_volume, scale_space_warp
+
+
+def forward_prediction(x_ref, motion_info, *, sigma0: float = 1.5,
+                       num_levels: int = 5, scale_field_shift: float = 1.0):
+    """motion_info: [B,H,W,3] = (flow_x, flow_y, scale). Flow is in normalized
+    grid units; scale indexes the Gaussian scale-space volume."""
+    flow = motion_info[..., :2]
+    scale = motion_info[..., 2] + scale_field_shift
+    volume = gaussian_volume(x_ref, sigma0, num_levels)
+    return scale_space_warp(volume, flow, scale)
+
+
+class ScaleSpaceFlow(nn.Module):
+    """Plain SSF codec. Subclasses (ELFVC/MCVC) reuse the branch builders."""
+
+    planes: int = 192
+    mid: int = 128
+    sigma0: float = 1.5
+    num_levels: int = 5
+    scale_field_shift: float = 1.0
+
+    def setup(self):
+        self.img_encoder = SSFEncoder(mid=self.mid, out=self.planes)
+        self.img_decoder = SSFDecoder(mid=self.mid, out=3)
+        self.img_hyperprior = SSFHyperprior(self.planes)
+        self.motion_encoder = SSFEncoder(mid=self.mid, out=self.planes)
+        self.motion_decoder = SSFDecoder(mid=self.mid, out=3)
+        self.motion_hyperprior = SSFHyperprior(self.planes)
+        self.res_encoder = SSFEncoder(mid=self.mid, out=self.planes)
+        self.res_decoder = SSFDecoder(mid=self.mid, out=3)
+        self.res_hyperprior = SSFHyperprior(self.planes)
+
+    def forward_keyframe(self, x, *, training: bool, rng=None):
+        y = self.img_encoder(x)
+        y_hat, lk, _ = self.img_hyperprior(y, None, training=training, rng=rng)
+        x_hat = self.img_decoder(y_hat)
+        return x_hat, {"keyframe": lk}
+
+    def forward_inter(self, x_cur, x_ref, *, training: bool, rng=None):
+        r1, r2 = jax.random.split(rng) if rng is not None else (None, None)
+        y_motion = self.motion_encoder(jnp.concatenate([x_cur, x_ref], axis=-1))
+        y_motion_hat, motion_lk, _ = self.motion_hyperprior(
+            y_motion, None, training=training, rng=r1)
+
+        motion_info = self.motion_decoder(y_motion_hat)
+        x_pred = forward_prediction(
+            x_ref, motion_info, sigma0=self.sigma0, num_levels=self.num_levels,
+            scale_field_shift=self.scale_field_shift)
+
+        x_res = x_cur - x_pred
+        y_res = self.res_encoder(x_res)
+        y_res_hat, res_lk, _ = self.res_hyperprior(y_res, None, training=training, rng=r2)
+        x_res_hat = self.res_decoder(
+            jnp.concatenate([y_res_hat, y_motion_hat], axis=-1))
+        x_rec = x_pred + x_res_hat
+        return x_rec, {"motion": motion_lk, "residual": res_lk}
+
+    def __call__(self, x_cur, x_ref, *, training: bool, rng=None):
+        return self.forward_inter(x_cur, x_ref, training=training, rng=rng)
+
+
+def inter_bpp_est(likelihoods: dict, batch: int, h: int, w: int):
+    """Reference bpp accounting for SSF-family outputs
+    (parallel_compression models.py:274-281): motion y+z and residual y+z with
+    the clamp estimator, normalized by B*H*W."""
+    mot, res = likelihoods["motion"], likelihoods["residual"]
+    mot_bits = bits_from_likelihood(mot["y"]) + bits_from_likelihood(mot["z"])
+    res_bits = bits_from_likelihood(res["y"]) + bits_from_likelihood(res["z"])
+    denom = float(batch * h * w)
+    return (mot_bits + res_bits) / denom, res_bits / denom

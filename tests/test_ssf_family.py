@@ -1,0 +1,141 @@
+"""SSF / ELFVC(-SP) / MCVC(-IA) / Base model family tests."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fvc.core.config import CodecConfig
+
+H = W = 128  # SSF stack needs 128-divisible
+
+
+def _frames(T, B=1, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.rand(B, H, W, 3).astype(np.float32)
+    out = [base]
+    for _ in range(T - 1):
+        out.append(np.clip(np.roll(out[-1], 2, axis=2)
+                           + 0.01 * rng.randn(B, H, W, 3), 0, 1).astype(np.float32))
+    return jnp.asarray(np.stack(out))
+
+
+def test_gaussian_volume_and_scale_space_warp():
+    from fvc.ops.warp import gaussian_volume, scale_space_warp
+
+    x = _frames(1)[0]
+    vol = gaussian_volume(x, 1.5, 5)
+    assert vol.shape == (1, 6, H, W, 3)
+    # zero flow/scale samples near level 0 (slightly blurred by border math)
+    flow = jnp.zeros((1, H, W, 2))
+    scale = -jnp.ones((1, H, W))  # z=-1 -> nearest depth 0
+    out = scale_space_warp(vol, flow, scale)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ssf_forward_inter():
+    from fvc.models.ssf import ScaleSpaceFlow, inter_bpp_est
+
+    m = ScaleSpaceFlow(planes=32, mid=16)
+    f = _frames(2)
+    variables = m.init(jax.random.PRNGKey(0), f[1], f[0], training=False)
+    x_rec, lk = m.apply(variables, f[1], f[0], training=False)
+    assert x_rec.shape == (1, H, W, 3)
+    bpp, bpp_res = inter_bpp_est(lk, 1, H, W)
+    assert float(bpp) > 0 and float(bpp_res) > 0
+
+
+def test_elfvc_sp_state_chaining():
+    from fvc.models.elfvc import ELFVC, elfvc_frame_metrics
+
+    cfg = CodecConfig.from_name("ELFVC-SP")
+    m = ELFVC(cfg, planes=32, mid=16)
+    f = _frames(3)
+    state = m.init_state(1, H, W)
+    variables = m.init(jax.random.PRNGKey(0), f[1], f[0], state, training=False)
+
+    x_rec, state1, lk = m.apply(variables, f[1], f[0], state, training=False)
+    assert len(lk["pred_err"]) == 2  # both hyperpriors carry SPnet
+    # prior motion propagates
+    assert float(jnp.abs(state1.motion_info_prior).sum()) > 0
+    x_rec2, state2, lk2 = m.apply(variables, f[2], x_rec, state1, training=False)
+    metrics = elfvc_frame_metrics(f[2], x_rec2, lk2)
+    for k in ("bpp_est", "img_loss", "psnr", "pred_norm", "q_norm"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_mcvc_ia_forward_with_failures():
+    from fvc.models.mcvc import MCVC, mcvc_gop_metrics, sample_view_mask
+
+    views = 3
+    cfg = CodecConfig.from_name("MCVC-IA", num_views=views, resilience=1)
+    m = MCVC(cfg, planes=32, mid=16)
+    frames = _frames(2, B=views)  # [G=2, V, H, W, 3]
+    mask = jnp.asarray(sample_view_mask(
+        1, views, 1, force_resilience=1, training=True,
+        rng=np.random.RandomState(0)))
+    assert float(mask.sum()) == views - 1  # one failed view
+
+    variables = m.init(jax.random.PRNGKey(0), frames, mask, training=False)
+    out = m.apply(variables, frames, mask, training=False)
+    assert out["x_hat"].shape == frames.shape
+    metrics = mcvc_gop_metrics(frames, out, cfg)
+    assert np.isfinite(float(metrics["psnr"]))
+    assert float(metrics["bpp_est"]) > 0
+
+
+def test_mcvc_view_mask_sampling_stats():
+    from fvc.models.mcvc import sample_num_failed, sample_view_mask
+
+    rng = np.random.RandomState(0)
+    fails = [sample_num_failed(4, 0.1, 3, training=True, rng=rng)
+             for _ in range(300)]
+    # binomial(4, .1): mostly 0 failures
+    assert np.mean(np.asarray(fails) == 0) > 0.5
+    mask = sample_view_mask(2, 4, 0, training=True, rng=rng)
+    assert mask.shape == (8,) and mask.sum() == 8  # resilience 0: none fail
+
+
+def test_olft_touchup_replacement():
+    from fvc.models.mcvc import replace_topk_pixels, touchup_bits
+
+    rng = np.random.RandomState(0)
+    recon = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    target = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    touched, delta = replace_topk_pixels(recon, target, 0.1)
+    n_replaced = int(np.sum(np.asarray(delta) != 0))
+    assert 0 < n_replaced <= int(0.1 * recon.size) + 1
+    # replaced positions now equal target
+    d = np.asarray(jnp.abs(touched - target))
+    r = np.asarray(jnp.abs(recon - target)).reshape(-1)
+    assert np.sort(d.reshape(-1))[-n_replaced:].max() <= np.sort(r)[::-1][n_replaced] + 1e-6
+    bits = touchup_bits(np.asarray(delta))
+    assert bits > 0
+
+
+@pytest.mark.parametrize("name", ["Base", "Base-EC", "Base-ER"])
+def test_base_codec_variants(name):
+    from fvc.models.base_codec import BaseCodec
+
+    cfg = CodecConfig.from_name(name)
+    m = BaseCodec(cfg)
+    f = _frames(2, seed=3)
+    variables = m.init(jax.random.PRNGKey(0), f[1], f[0], training=False)
+    recon, out = m.apply(variables, f[1], f[0], training=False)
+    assert recon.shape == (1, H, W, 3)
+    for k in ("bpp_feature", "bpp_z", "bpp_mv", "img_loss", "inter_loss", "psnr"):
+        assert np.isfinite(float(out[k])), k
+    if "-ER" in name:
+        assert float(out["pred_err"]) >= 0
+
+
+def test_registry_builds_all_families():
+    from fvc.models.registry import get_codec_model
+
+    for name in ["DVC", "RLVC", "RLVC2", "LSVC", "LSVC-L", "Base", "Base-EC",
+                 "Base-ER", "ELFVC", "ELFVC-SP", "MCVC-Original", "MCVC-IA",
+                 "MCVC-IA-OLFT", "SSF", "IFrame"]:
+        model, cfg = get_codec_model(name, num_views=2)
+        assert model is not None
+        assert cfg.name == name
