@@ -1,0 +1,328 @@
+"""Data layer (L0) — reference dataset.py re-done as host-side pipelines
+feeding device arrays.
+
+- VideoDataset      (dataset.py:25-127): frame iterator over test videos.
+  Here: raw .yuv (pure numpy, 4:2:0 and 4:4:4), PNG/JPG frame directories
+  (PIL), or .mp4 via an ffmpeg pipe when the binary exists. No OpenCV
+  dependency (not in this image).
+- FrameDataset      (dataset.py:129-171): Vimeo-90k-style septuplets with a
+  shared random resized crop across frames.
+- MultiViewVideoDataset (dataset.py:175-266): MMPTracking-style multi-camera
+  GOP tensors + the streaming-rate sampling-pool emulation (sample_interval /
+  c2s_ratio / max_pool_size).
+- SyntheticVideoDataset: deterministic moving-pattern clips so every pipeline
+  is testable hermetically (no dataset downloads in this environment).
+
+All loaders yield numpy float32 NHWC in [0, 1]; batching/sharding happens in
+fvc.train / fvc.dist.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Decoders
+# ---------------------------------------------------------------------------
+
+def read_yuv(path: str, width: int, height: int, *, fmt: str = "420",
+             max_frames: Optional[int] = None) -> np.ndarray:
+    """Raw YUV reader -> [T, H, W, 3] RGB float32 in [0,1] (BT.601)."""
+    ysize = width * height
+    if fmt == "420":
+        csize = ysize // 4
+        cw, ch = width // 2, height // 2
+    elif fmt == "444":
+        csize = ysize
+        cw, ch = width, height
+    else:
+        raise ValueError(fmt)
+    frame_bytes = ysize + 2 * csize
+    frames = []
+    with open(path, "rb") as f:
+        while max_frames is None or len(frames) < max_frames:
+            buf = f.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                break
+            raw = np.frombuffer(buf, np.uint8)
+            y = raw[:ysize].reshape(height, width).astype(np.float32)
+            u = raw[ysize:ysize + csize].reshape(ch, cw).astype(np.float32)
+            v = raw[ysize + csize:].reshape(ch, cw).astype(np.float32)
+            if fmt == "420":
+                u = u.repeat(2, 0).repeat(2, 1)
+                v = v.repeat(2, 0).repeat(2, 1)
+            frames.append(_yuv_to_rgb(y, u, v))
+    return np.stack(frames) if frames else np.zeros((0, height, width, 3), np.float32)
+
+
+def _yuv_to_rgb(y, u, v):
+    y = y / 255.0
+    u = u / 255.0 - 0.5
+    v = v / 255.0 - 0.5
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.clip(np.stack([r, g, b], -1), 0.0, 1.0).astype(np.float32)
+
+
+def read_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def read_video_ffmpeg(path: str, *, width: Optional[int] = None,
+                      height: Optional[int] = None,
+                      max_frames: Optional[int] = None) -> np.ndarray:
+    """Decode via ffmpeg rawvideo pipe (dataset.py's OpenCV role)."""
+    if not ffmpeg_available():
+        raise RuntimeError("ffmpeg not available")
+    probe = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
+         "stream=width,height", "-of", "csv=p=0", path],
+        capture_output=True, text=True, check=True)
+    w0, h0 = map(int, probe.stdout.strip().split(","))
+    w, h = width or w0, height or h0
+    cmd = ["ffmpeg", "-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24"]
+    if (w, h) != (w0, h0):
+        cmd += ["-vf", f"scale={w}:{h}"]
+    if max_frames:
+        cmd += ["-frames:v", str(max_frames)]
+    cmd += ["-"]
+    out = subprocess.run(cmd, capture_output=True, check=True).stdout
+    n = len(out) // (w * h * 3)
+    arr = np.frombuffer(out[: n * w * h * 3], np.uint8).reshape(n, h, w, 3)
+    return arr.astype(np.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+class SyntheticVideoDataset:
+    """Deterministic moving-texture clips: global translation + noise, so flow
+    estimation and RD training have real structure to exploit."""
+
+    def __init__(self, num_videos: int = 4, frames: int = 16, height: int = 256,
+                 width: int = 256, seed: int = 0, motion: float = 2.0,
+                 noise: float = 0.01):
+        self.num_videos = num_videos
+        self.frames = frames
+        self.h, self.w = height, width
+        self.seed = seed
+        self.motion = motion
+        self.noise = noise
+
+    def __len__(self):
+        return self.num_videos
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + idx)
+        # smooth random texture: blurred noise
+        big = rng.rand(self.h * 2, self.w * 2, 3).astype(np.float32)
+        k = 9
+        kernel = np.ones(k, np.float32) / k
+        for ax in (0, 1):
+            big = np.apply_along_axis(
+                lambda m: np.convolve(m, kernel, mode="same"), ax, big)
+        big = (big - big.min()) / (np.ptp(big) + 1e-6)
+        dx, dy = rng.uniform(-self.motion, self.motion, 2)
+        frames = []
+        for t in range(self.frames):
+            ox = int(self.w / 2 + t * dx) % self.w
+            oy = int(self.h / 2 + t * dy) % self.h
+            crop = big[oy: oy + self.h, ox: ox + self.w]
+            crop = crop + self.noise * rng.randn(*crop.shape)
+            frames.append(np.clip(crop, 0, 1).astype(np.float32))
+        return np.stack(frames)
+
+
+class VideoDataset:
+    """Frame iterator over test videos in a directory (reference
+    dataset.py:25-127). Supports .yuv (dims parsed from the filename like
+    `name_1920x1080.yuv`), frame-directories of images, and .mp4 via ffmpeg."""
+
+    def __init__(self, root: str, frame_size: Optional[Tuple[int, int]] = None,
+                 max_frames: Optional[int] = None):
+        self.root = root
+        self.frame_size = frame_size
+        self.max_frames = max_frames
+        self.items: List[str] = []
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                p = os.path.join(root, name)
+                if name.endswith((".yuv", ".mp4", ".mkv", ".webm")) or os.path.isdir(p):
+                    self.items.append(p)
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int) -> np.ndarray:
+        path = self.items[idx]
+        if path.endswith(".yuv"):
+            import re
+            m = re.search(r"(\d+)x(\d+)", os.path.basename(path))
+            if not m:
+                raise ValueError(f"cannot parse dims from {path}")
+            w, h = int(m.group(1)), int(m.group(2))
+            clip = read_yuv(path, w, h, max_frames=self.max_frames)
+        elif os.path.isdir(path):
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith((".png", ".jpg")))
+            if self.max_frames:
+                files = files[: self.max_frames]
+            clip = np.stack([read_image(os.path.join(path, f)) for f in files])
+        else:
+            clip = read_video_ffmpeg(path, max_frames=self.max_frames)
+        if self.frame_size is not None:
+            clip = center_crop(clip, *self.frame_size)
+        return clip
+
+    def iter_gops(self, gop_size: int = 16) -> Iterator[np.ndarray]:
+        """Yield [gop_size, H, W, 3] chunks per video (eval.py:283-294).
+        Ragged tails are dropped (static shapes for XLA)."""
+        for i in range(len(self)):
+            clip = self.load(i)
+            for s in range(0, len(clip) - gop_size + 1, gop_size):
+                yield clip[s: s + gop_size]
+
+
+class FrameDataset:
+    """Vimeo-90k-style septuplet sampler with one shared crop per sample
+    (dataset.py:129-171). Falls back to synthetic clips when the directory is
+    absent so training is runnable hermetically."""
+
+    def __init__(self, root: Optional[str] = None, crop: int = 256,
+                 frames: int = 7, num_synthetic: int = 64, seed: int = 0):
+        self.crop = crop
+        self.frames = frames
+        self.samples: List[str] = []
+        if root and os.path.isdir(root):
+            for dirpath, _, files in os.walk(root):
+                if sum(f.endswith(".png") for f in files) >= frames:
+                    self.samples.append(dirpath)
+            self.samples.sort()
+        self.synthetic = None
+        if not self.samples:
+            self.synthetic = SyntheticVideoDataset(
+                num_videos=num_synthetic, frames=frames,
+                height=crop, width=crop, seed=seed)
+
+    def __len__(self):
+        return len(self.samples) if self.samples else len(self.synthetic)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        if self.synthetic is not None:
+            return self.synthetic[idx]
+        d = self.samples[idx]
+        files = sorted(f for f in os.listdir(d) if f.endswith(".png"))[: self.frames]
+        clip = np.stack([read_image(os.path.join(d, f)) for f in files])
+        return random_resized_crop(clip, self.crop, np.random.RandomState(idx))
+
+
+class MultiViewVideoDataset:
+    """Multi-camera GOP tensors [gop, views, H, W, 3] + the streaming
+    sampling-pool emulation (dataset.py:175-266). Synthetic fallback renders
+    the same underlying scene from per-view crops."""
+
+    CATEGORY_VIEWS = {"cafe_shop": 4, "industry_safety": 6, "lobby": 5,
+                      "office": 4, "retail": 4}  # dataset.py:173-174
+
+    def __init__(self, root: Optional[str] = None, category: str = "office",
+                 gop: int = 16, height: int = 256, width: int = 256,
+                 sample_interval: float = 1.0, c2s_ratio: float = 1.0,
+                 max_pool_size: int = 10, seed: int = 0,
+                 num_samples: int = 8):
+        self.views = self.CATEGORY_VIEWS.get(category, 4)
+        self.gop = gop
+        self.h, self.w = height, width
+        self.sample_interval = max(sample_interval, 1e-6)
+        self.c2s_ratio = c2s_ratio
+        self.max_pool_size = max_pool_size
+        self.num_samples = num_samples
+        self._rng = np.random.RandomState(seed)
+        self._pool: List[int] = []
+        self._clock = 0.0
+        self.root = root
+        self.category = category
+        self._synth = SyntheticVideoDataset(
+            num_videos=num_samples * self.views, frames=gop,
+            height=height, width=width, seed=seed)
+
+    def __len__(self):
+        return self.num_samples
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        views = [self._synth[idx * self.views + v] for v in range(self.views)]
+        return np.stack(views, axis=1)  # [gop, views, H, W, 3]
+
+    def sample(self) -> np.ndarray:
+        """Streaming-rate pool emulation (dataset.py:231-236): GOPs arrive
+        every `sample_interval` ticks into a bounded pool; training draws a
+        uniform element from the pool."""
+        self._clock += self.c2s_ratio
+        while self._clock >= self.sample_interval:
+            self._clock -= self.sample_interval
+            self._pool.append(self._rng.randint(0, len(self)))
+            if len(self._pool) > self.max_pool_size:
+                self._pool.pop(0)
+        if not self._pool:
+            self._pool.append(self._rng.randint(0, len(self)))
+        return self[self._pool[self._rng.randint(0, len(self._pool))]]
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+def center_crop(clip: np.ndarray, h: int, w: int) -> np.ndarray:
+    H, W = clip.shape[1:3]
+    top = max(0, (H - h) // 2)
+    left = max(0, (W - w) // 2)
+    return clip[:, top: top + h, left: left + w]
+
+
+def random_resized_crop(clip: np.ndarray, size: int,
+                        rng: np.random.RandomState) -> np.ndarray:
+    """One crop shared across all frames of the clip (dataset.py:148-159)."""
+    H, W = clip.shape[1:3]
+    s = rng.uniform(0.6, 1.0)
+    ch, cw = max(8, int(H * s)), max(8, int(W * s))
+    top = rng.randint(0, H - ch + 1)
+    left = rng.randint(0, W - cw + 1)
+    crop = clip[:, top: top + ch, left: left + cw]
+    # bilinear resize to (size, size) in numpy
+    ys = np.linspace(0, ch - 1, size)
+    xs = np.linspace(0, cw - 1, size)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, ch - 1)
+    x1 = np.minimum(x0 + 1, cw - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    a = crop[:, y0][:, :, x0]
+    b = crop[:, y0][:, :, x1]
+    c = crop[:, y1][:, :, x0]
+    d = crop[:, y1][:, :, x1]
+    out = a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c * wy * (1 - wx) + d * wy * wx
+    return out.astype(np.float32)
+
+
+def batch_gops(dataset, indices: Sequence[int], gop: int) -> np.ndarray:
+    """Stack [B, gop, H, W, 3] from per-video clips."""
+    out = []
+    for i in indices:
+        clip = dataset[i]
+        out.append(clip[:gop])
+    return np.stack(out)

@@ -103,7 +103,8 @@ def replace_topk_pixels(recon: jax.Array, target: jax.Array, ratio: float):
     _, idx = jax.lax.top_k(diff, k)
     mask = jnp.zeros_like(flat_r).at[idx].set(1.0)
     touched = flat_r * (1.0 - mask) + flat_t * mask
-    return touched.reshape(recon.shape), (touched - flat_r.reshape(-1).reshape(recon.shape))
+    delta = (touched - flat_r).reshape(recon.shape)
+    return touched.reshape(recon.shape), delta
 
 
 def touchup_bits(delta: np.ndarray, use_compression: bool = True) -> int:

@@ -1,0 +1,104 @@
+"""Checkpointing — orbax-backed with the reference's tolerant-loading modes.
+
+Reference: torch.save dicts {epoch, state_dict, score, stats} with _ckpt/_best
+pairs (train.py:416-424) and the tolerant loaders at models.py:431-458:
+- load_whatever: shape-matched subset (load_state_dict_whatever)
+- load_only:     keyword-filtered subset (load_state_dict_only)
+- load_with_copy: mirror source weights into backup_* decoders
+  (load_state_dict_with_copy — the MCVC init-from-SSF path)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(directory: str, step: int, payload: Any, *,
+                    best: bool = False):
+    """payload: any pytree (params/opt_state/metadata)."""
+    directory = os.path.abspath(directory)
+    name = "best" if best else f"ckpt_{step}"
+    path = os.path.join(directory, name)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, reference: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), reference)
+
+
+def latest_checkpoint(directory: str) -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    best = os.path.join(directory, "best")
+    cands = sorted(
+        (d for d in os.listdir(directory) if d.startswith("ckpt_")),
+        key=lambda d: int(d.split("_")[1]))
+    if cands:
+        return os.path.join(directory, cands[-1])
+    return best if os.path.isdir(best) else None
+
+
+# ---------------------------------------------------------------------------
+# Tolerant cross-model weight grafting (pytree versions of models.py:431-458)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(k): v for k, v in flat}, treedef
+
+
+def load_whatever(target, source):
+    """Copy every source leaf whose path exists in target with matching shape
+    (load_state_dict_whatever, models.py:431-440)."""
+    src, _ = _flatten(source)
+
+    def merge(path, leaf):
+        key = jax.tree_util.keystr(path)
+        if key in src and np.shape(src[key]) == np.shape(leaf):
+            return src[key]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(merge, target)
+
+
+def load_only(target, source, keyword: str):
+    """Copy only leaves whose path contains `keyword`
+    (load_state_dict_only, models.py:450-455)."""
+    src, _ = _flatten(source)
+
+    def merge(path, leaf):
+        key = jax.tree_util.keystr(path)
+        if keyword in key and key in src and np.shape(src[key]) == np.shape(leaf):
+            return src[key]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(merge, target)
+
+
+def load_with_copy(target, source, *, backup_map=(
+        ("backup_img_decoder", "img_decoder"),
+        ("backup_res_decoder", "res_decoder"))):
+    """load_whatever + mirror donor decoders into backup_* decoders
+    (load_state_dict_with_copy, models.py:442-448 — the MCVC-from-SSF seed)."""
+    out = load_whatever(target, source)
+    src, _ = _flatten(source)
+
+    def merge(path, leaf):
+        key = jax.tree_util.keystr(path)
+        for backup, donor in backup_map:
+            if backup in key:
+                donor_key = key.replace(backup, donor)
+                if donor_key in src and np.shape(src[donor_key]) == np.shape(leaf):
+                    return src[donor_key]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(merge, out)

@@ -1,0 +1,76 @@
+"""Training steps: single-chip and mesh-sharded (pjit) variants.
+
+The sharded train step is the TPU-native replacement for the reference's
+AMP+DataParallel loops (train.py:157-252, train_multiview.py:213-303): one jit
+program over a Mesh; the batch axis shards over 'data', activations over
+'spatial'; gradient all-reduce is inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fvc.core.config import CodecConfig
+from fvc.dist.mesh import frames_spec, replicated
+
+
+def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.0,
+                   clip_norm: Optional[float] = None):
+    tx = []
+    if clip_norm:
+        tx.append(optax.clip_by_global_norm(clip_norm))
+    if weight_decay:
+        tx.append(optax.adamw(learning_rate, weight_decay=weight_decay))
+    else:
+        tx.append(optax.adam(learning_rate))
+    return optax.chain(*tx)
+
+
+def lsvc_loss_fn(model, cfg: CodecConfig):
+    """Rate-distortion loss for a batch of GOPs: frames [B, T, H, W, 3]
+    (T = GOP+1 incl. the reconstructed I-frame). Stage weighting follows
+    init_training_params defaults (r_img = r_bpp = 1, stage REC)."""
+
+    def loss_fn(params, frames, rng):
+        def per_gop(x, r):
+            _, out = model.apply(params, x, training=True, rng=r)
+            return (cfg.rate_lambda * out["rec_loss"] + out["bpp_est"], out)
+
+        rngs = jax.random.split(rng, frames.shape[0])
+        losses, outs = jax.vmap(per_gop)(frames, rngs)
+        metrics = {k: jnp.mean(v) for k, v in outs.items()
+                   if v.ndim <= 1}
+        return jnp.mean(losses), metrics
+
+    return loss_fn
+
+
+def make_train_step(loss_fn, optimizer, *, mesh=None, donate: bool = True):
+    """Returns jitted (params, opt_state, frames, rng) -> (params, opt_state,
+    metrics). If `mesh` is given, frames shard over it and params replicate."""
+
+    def step(params, opt_state, frames, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+    fspec = frames_spec(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, fspec, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1) if donate else (),
+    )

@@ -1,0 +1,151 @@
+"""Aux subsystem tests: data pipelines, BOLA sim, checkpointing, meters."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def test_synthetic_dataset_motion_structure():
+    from fvc.data.datasets import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(num_videos=2, frames=4, height=64, width=64)
+    clip = ds[0]
+    assert clip.shape == (4, 64, 64, 3)
+    assert clip.min() >= 0 and clip.max() <= 1
+    # consecutive frames correlated but not identical (motion + noise)
+    d01 = np.abs(clip[1] - clip[0]).mean()
+    drand = np.abs(ds[1][0] - clip[0]).mean()
+    assert 0 < d01 < drand
+
+
+def test_yuv_roundtrip(tmp_path):
+    from fvc.data.datasets import read_yuv
+
+    H, W, T = 32, 48, 3
+    rng = np.random.RandomState(0)
+    y = rng.randint(0, 256, (T, H, W), dtype=np.uint8)
+    u = rng.randint(0, 256, (T, H // 2, W // 2), dtype=np.uint8)
+    v = rng.randint(0, 256, (T, H // 2, W // 2), dtype=np.uint8)
+    path = str(tmp_path / f"test_{W}x{H}.yuv")
+    with open(path, "wb") as f:
+        for t in range(T):
+            f.write(y[t].tobytes())
+            f.write(u[t].tobytes())
+            f.write(v[t].tobytes())
+    clip = read_yuv(path, W, H)
+    assert clip.shape == (T, H, W, 3)
+    assert clip.dtype == np.float32
+    assert 0 <= clip.min() and clip.max() <= 1
+
+
+def test_video_dataset_gop_iteration(tmp_path):
+    from fvc.data.datasets import VideoDataset
+
+    H, W = 16, 24
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / f"clip_{W}x{H}.yuv")
+    nframes = 10
+    with open(path, "wb") as f:
+        f.write(rng.randint(0, 256, nframes * (H * W + 2 * (H // 2) * (W // 2)),
+                            dtype=np.uint8).tobytes())
+    ds = VideoDataset(str(tmp_path))
+    assert len(ds) == 1
+    gops = list(ds.iter_gops(gop_size=4))
+    assert len(gops) == 2  # 10 frames -> two full GOPs of 4, tail dropped
+    assert gops[0].shape == (4, H, W, 3)
+
+
+def test_frame_dataset_synthetic_fallback():
+    from fvc.data.datasets import FrameDataset
+
+    ds = FrameDataset(root=None, crop=64, frames=7, num_synthetic=3)
+    assert len(ds) == 3
+    assert ds[0].shape == (7, 64, 64, 3)
+
+
+def test_multiview_dataset_and_sampling_pool():
+    from fvc.data.datasets import MultiViewVideoDataset
+
+    ds = MultiViewVideoDataset(category="office", gop=4, height=32, width=32,
+                               sample_interval=2.0, c2s_ratio=1.0,
+                               max_pool_size=3, num_samples=4)
+    item = ds[0]
+    assert item.shape == (4, 4, 32, 32, 3)  # [gop, views(office=4), H, W, 3]
+    for _ in range(10):
+        s = ds.sample()
+        assert s.shape == (4, 4, 32, 32, 3)
+    assert len(ds._pool) <= 3
+
+
+def test_bola_simulation_prefers_high_bw():
+    from fvc.sim.bola import BolaConfig, simulate_over_trace
+
+    levels, segments = 4, 200
+    rng = np.random.RandomState(0)
+    psnr = np.linspace(32, 40, levels)[:, None] + rng.rand(levels, segments) * 0.1
+    bitrate = np.linspace(1e6, 8e6, levels)[:, None] * np.ones((1, segments))
+    dect = np.full((levels, segments), 0.2)
+
+    hi = simulate_over_trace(psnr, bitrate, dect, [50e6] * 2000, [0.0] * 2000)
+    lo = simulate_over_trace(psnr, bitrate, dect, [1.5e6] * 2000, [0.0] * 2000)
+    assert hi[0] > lo[0]          # QoE better with bandwidth
+    assert hi[1] >= lo[1]         # quality too
+    assert lo[2] >= hi[2] - 1e-9  # rebuffering no better on slow link
+
+
+def test_checkpoint_roundtrip_and_tolerant_loaders(tmp_path):
+    from fvc.train.checkpoint import (
+        latest_checkpoint, load_only, load_whatever, load_with_copy,
+        restore_checkpoint, save_checkpoint,
+    )
+
+    payload = {"params": {"a": np.ones((2, 2), np.float32),
+                          "b": np.zeros((3,), np.float32)},
+               "step": np.asarray(7, np.int32)}
+    path = save_checkpoint(str(tmp_path), 7, payload)
+    assert latest_checkpoint(str(tmp_path)) == path
+    restored = restore_checkpoint(path, payload)
+    np.testing.assert_allclose(restored["params"]["a"], payload["params"]["a"])
+
+    # tolerant loaders
+    target = {"x": np.zeros((2, 2)), "y": np.zeros((5,)), "z": np.zeros((1,))}
+    source = {"x": np.ones((2, 2)), "y": np.ones((3,)), "w": np.ones((1,))}
+    out = load_whatever(target, source)
+    np.testing.assert_allclose(out["x"], 1.0)   # shape match -> copied
+    np.testing.assert_allclose(out["y"], 0.0)   # shape mismatch -> kept
+    out2 = load_only(target, source, keyword="x")
+    np.testing.assert_allclose(out2["x"], 1.0)
+
+    tgt = {"img_decoder": {"k": np.zeros((2,))},
+           "backup_img_decoder": {"k": np.zeros((2,))}}
+    src = {"img_decoder": {"k": np.full((2,), 3.0)}}
+    out3 = load_with_copy(tgt, src)
+    np.testing.assert_allclose(out3["img_decoder"]["k"], 3.0)
+    np.testing.assert_allclose(out3["backup_img_decoder"]["k"], 3.0)  # mirrored
+
+
+def test_meters():
+    from fvc.utils.meters import AverageMeter, encode_decode_summary, make_stage_meters
+
+    m = AverageMeter()
+    m.update(1.0)
+    m.update(3.0)
+    assert m.avg == 2.0
+    meters = make_stage_meters()
+    meters["E-FL"].update(0.5)
+    meters["D-MV"].update(0.25)
+    enc, dec = encode_decode_summary(meters)
+    assert enc == 0.75 and dec == 0.25
+
+
+def test_anchor_pack_views():
+    from fvc.anchors.x26x import pack_views
+
+    frames = np.random.RandomState(0).rand(2, 3, 8, 8, 3).astype(np.float32)
+    assert pack_views(frames, 0).shape == (6, 8, 8, 3)
+    assert pack_views(frames, 1).shape == (2, 8, 24, 3)
+    assert pack_views(frames, 2).shape == (2, 24, 8, 3)
+    assert pack_views(frames, 3).shape == (2, 16, 16, 3)  # 2x2 grid w/ 1 pad
