@@ -1,0 +1,102 @@
+"""Benchmark: LSVC (flagship tree codec) 1080p P-frame encode+decode throughput
+on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md "LSVC enc/dec split", plot_hermes.py:678-691): on an RTX
+3090 the reference encodes at 32.4 fps and decodes at 46 fps; a full
+encode+decode pass (what LSVC.forward computes: flow + mv codec + MC + residual
+codec + reconstruction, models.py:1347-1411) therefore runs at
+1/(1/32.4 + 1/46) ~= 19.0 fps. vs_baseline = ours / 19.0.
+
+Notes:
+- persistent XLA compilation cache under .jax_cache (first run pays compile).
+- init is jitted (op-by-op dispatch through the device tunnel is pathological).
+- bf16 MXU policy active for the conv path (fvc.core.policy).
+
+Run: python bench.py [--gop 6] [--height 1088] [--width 1920] [--iters 3]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ENCDEC_FPS = 19.0  # RTX 3090 enc+dec serial, plot_hermes.py:678-691
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gop", type=int, default=6)
+    ap.add_argument("--height", type=int, default=1088)  # 1080p padded to /64
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from fvc.core.policy import bf16_compute, compute_in
+    from fvc.models.registry import get_codec_model
+
+    model, cfg = get_codec_model("LSVC")
+    gop, H, W = args.gop, args.height, args.width
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(gop + 1, H, W, 3).astype(np.float32))
+
+    t0 = time.perf_counter()
+    variables = jax.jit(
+        lambda k, xs: model.init(k, xs, training=False)
+    )(jax.random.PRNGKey(0), x[: 3, : 128, : 128])
+    jax.block_until_ready(variables)
+    init_s = time.perf_counter() - t0
+
+    def fwd(variables, x):
+        ctx = compute_in(None) if args.fp32 else bf16_compute()
+        with ctx:
+            com, out = model.apply(variables, x, training=False)
+        return com, out["bpp_est"], out["psnr"]
+
+    forward = jax.jit(fwd)
+
+    t0 = time.perf_counter()
+    com, bpp, psnr = forward(variables, x)
+    jax.block_until_ready(com)
+    compile_s = time.perf_counter() - t0
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(forward(variables, x)[0])
+
+    # time a dependent chain: feed reconstructions back as inputs so calls
+    # serialize even if the device queue is deep
+    t0 = time.perf_counter()
+    cur = x
+    for _ in range(args.iters):
+        com, bpp, psnr = forward(variables, cur)
+        cur = jnp.concatenate([cur[:1], com], axis=0)
+    jax.block_until_ready(cur)
+    total = time.perf_counter() - t0
+
+    sec_per_gop = total / args.iters
+    fps = gop / sec_per_gop
+    result = {
+        "metric": f"lsvc_{H}x{W}_pframe_encdec_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_ENCDEC_FPS, 3),
+    }
+    print(json.dumps(result))
+    print(f"# device={jax.devices()[0].device_kind} gop={gop} init={init_s:.1f}s "
+          f"compile={compile_s:.1f}s gop_time={sec_per_gop * 1e3:.0f}ms "
+          f"bpp={float(bpp):.4f} psnr={float(psnr):.2f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

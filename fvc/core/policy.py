@@ -1,0 +1,41 @@
+"""Precision policy — bf16 matrix units with f32 accumulation.
+
+The TPU analogue of the reference's AMP GradScaler loops (train.py:177,204-207):
+on TPU, bf16 needs no loss scaling (SURVEY §2.5 "Mixed precision"). The policy
+is a context: inside `bf16_compute()`, every conv in fvc.ops.conv casts its
+operands to bf16 and accumulates in f32 (preferred_element_type) — the MXU
+fast path — while all elementwise/entropy math stays f32.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import contextvars
+from typing import Optional
+
+import jax.numpy as jnp
+
+_COMPUTE_DTYPE: contextvars.ContextVar = contextvars.ContextVar(
+    "fvc_compute_dtype", default=None)
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE.get()
+
+
+@contextlib.contextmanager
+def bf16_compute():
+    token = _COMPUTE_DTYPE.set(jnp.bfloat16)
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE.reset(token)
+
+
+@contextlib.contextmanager
+def compute_in(dtype: Optional[jnp.dtype]):
+    token = _COMPUTE_DTYPE.set(dtype)
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE.reset(token)

@@ -50,7 +50,8 @@ class MeanScaleHyperprior(nn.Module):
         g = jax.nn.leaky_relu(Conv(C)(g), 0.01)
         params = Conv(2 * C)(g)
         sigma_raw, mu = jnp.split(params, 2, axis=-1)
-        sigma = jnp.exp(jnp.maximum(sigma_raw, -7.0))
+        # reference: exp(max(raw, -7)); upper clamp avoids f32 exp overflow
+        sigma = jnp.exp(jnp.clip(sigma_raw, -7.0, 50.0))
         y_hat, y_likelihood = gaussian_conditional(y, sigma, mu, training=training, rng=r2)
         return y_hat, {"y": y_likelihood, "z": z_likelihood,
                        "sigma": sigma, "mu": mu, "z_latent": z}

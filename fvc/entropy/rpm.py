@@ -34,5 +34,6 @@ class RPM(nn.Module):
 
 def rpm_scale(sigma_raw: jax.Array) -> jax.Array:
     """RecProbModel post-processing: exp(max(sigma, -7)) / 10
-    (entropy_models.py:60-62)."""
-    return jnp.exp(jnp.maximum(sigma_raw, -7.0)) / 10.0
+    (entropy_models.py:60-62). Upper clamp prevents f32 exp overflow; the
+    likelihood's sigma clip makes values beyond it equivalent anyway."""
+    return jnp.exp(jnp.clip(sigma_raw, -7.0, 50.0)) / 10.0

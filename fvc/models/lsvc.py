@@ -128,7 +128,9 @@ class PriorSynthesis(nn.Module):
         x = jax.nn.relu(Deconv(self.conv_channels, kernel=5)(x))
         x = jax.nn.relu(Deconv(self.conv_channels, kernel=5)(x))
         x = Conv(self.out_channels, kernel=3, stride=1)(x)
-        return jnp.exp(x)
+        # clamp the exponent: sigma saturates at the likelihood clip (1e10)
+        # far below e^50, and an unbounded exp overflows f32 -> NaN training
+        return jnp.exp(jnp.minimum(x, 50.0))
 
 
 class LSVC(nn.Module):

@@ -19,12 +19,24 @@ from flax import linen as nn
 DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
 
+def _operands(x, w):
+    """Apply the active precision policy: bf16 operands, f32 accumulate."""
+    from fvc.core.policy import compute_dtype
+
+    dt = compute_dtype()
+    if dt is not None:
+        return x.astype(dt), w.astype(dt)
+    return x, w
+
+
 def conv2d(x, w, b=None, *, stride: int = 1, padding="SAME"):
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    x, w = _operands(x, w)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
         dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
         y = y + b
@@ -37,9 +49,11 @@ def deconv2d_x2(x, w, b=None, *, kernel: int):
     p = kernel // 2
     lo = kernel - 1 - p
     hi = kernel - 1 - p + 1  # output_padding = 1
+    x, w = _operands(x, w)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
         lhs_dilation=(2, 2), dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
         y = y + b

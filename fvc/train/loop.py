@@ -1,0 +1,185 @@
+"""Training drivers — the train.py / train_multiview.py equivalents.
+
+- `train_single_view`: IterPred/LSVC/ELFVC rate-distortion training on
+  FrameDataset clips (train.py:157-252 semantics: Adam, per-GOP loss,
+  periodic eval + checkpoint). bf16 on TPU replaces AMP/GradScaler
+  (SURVEY §2.5 "Mixed precision": no loss scaling needed).
+- `train_multiview_olft`: MCVC online fine-tuning on the streaming sampling
+  pool, loss on touch-up-supervised surviving views
+  (train_multiview.py:213-303, 570-604).
+- `probe_sample_interval`: bandwidth-budget probe (train_multiview.py:392-406):
+  run a few batches, measure touch-up bpp ratio -> sampling interval.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fvc.core.config import CodecConfig
+from fvc.train.checkpoint import save_checkpoint
+from fvc.train.step import make_optimizer
+
+
+def train_single_view(model, cfg: CodecConfig, dataset, *,
+                      steps: int = 100, batch_size: int = 1,
+                      gop: int = 5, learning_rate: float = 1e-4,
+                      ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
+                      log_every: int = 10, seed: int = 0,
+                      mesh=None):
+    """Generic RD training over GOP clips. Returns (params, history).
+    Model must be an LSVC-style module: apply(params, x[T,H,W,3], training, rng)
+    -> (recon, out with rec_loss/bpp_est). IterPred models train through
+    fvc.gop.engine instead (see train_iterpred)."""
+    from fvc.dist.mesh import frames_spec, replicated
+    from fvc.train.step import lsvc_loss_fn, make_train_step
+
+    rng = np.random.RandomState(seed)
+    sample = dataset[0][: gop + 1]
+    frames0 = jnp.asarray(sample[None])
+    variables = model.init(jax.random.PRNGKey(seed), frames0[0],
+                           training=True, rng=jax.random.PRNGKey(seed + 1))
+    optimizer = make_optimizer(learning_rate, clip_norm=1.0)
+    opt_state = optimizer.init(variables)
+
+    loss_fn = lsvc_loss_fn(model, cfg)
+    step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, donate=False)
+
+    history = []
+    for step in range(steps):
+        idx = rng.randint(0, len(dataset), batch_size)
+        batch = np.stack([dataset[i][: gop + 1] for i in idx])
+        batch = jnp.asarray(batch)
+        if mesh is not None:
+            batch = jax.device_put(batch, frames_spec(mesh))
+        variables, opt_state, metrics = step_fn(
+            variables, opt_state, batch, jax.random.PRNGKey(seed + 2 + step))
+        if step % log_every == 0 or step == steps - 1:
+            history.append({k: float(v) for k, v in metrics.items()})
+        if ckpt_dir and (step + 1) % ckpt_every == 0:
+            save_checkpoint(ckpt_dir, step + 1, {"params": variables})
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, steps, {"params": variables}, best=True)
+    return variables, history
+
+
+def train_iterpred(model, cfg: CodecConfig, dataset, *,
+                   steps: int = 100, gop: int = 4,
+                   learning_rate: float = 1e-4, seed: int = 0,
+                   log_every: int = 10):
+    """DVC/RLVC trainer: scan-based GOP coding, reference loss
+    (train.py:185-207: r*img_loss + bpp_est per frame, averaged)."""
+    from fvc.gop.engine import code_gop_scan
+
+    rng = np.random.RandomState(seed)
+    sample = jnp.asarray(dataset[0][: gop + 1])
+    state0 = model.init_state(1, sample.shape[1], sample.shape[2])
+    variables = model.init(
+        jax.random.PRNGKey(seed), sample[0][None], sample[1][None], state0,
+        False, training=True, rng=jax.random.PRNGKey(seed + 1))
+    optimizer = make_optimizer(learning_rate, clip_norm=1.0)
+    opt_state = optimizer.init(variables)
+
+    def apply_fn(params, x_ref, x_cur, st, flag, *, training, rng):
+        return model.apply(params, x_ref, x_cur, st, flag,
+                           training=training, rng=rng)
+
+    def loss_fn(params, frames, key):
+        _, outs = code_gop_scan(apply_fn, params, frames, state0,
+                                training=True, rng=key)
+        return jnp.mean(cfg.rate_lambda * outs["img_loss"] + outs["bpp_est"]), outs
+
+    @jax.jit
+    def step_fn(params, opt_state, frames, key):
+        (loss, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {
+            "loss": loss, "psnr": jnp.mean(outs["psnr"]),
+            "bpp_est": jnp.mean(outs["bpp_est"])}
+
+    history = []
+    for step in range(steps):
+        clip = dataset[rng.randint(0, len(dataset))][: gop + 1]
+        frames = jnp.asarray(clip[:, None])  # [T, B=1, H, W, 3]
+        variables, opt_state, metrics = step_fn(
+            variables, opt_state, frames, jax.random.PRNGKey(seed + 2 + step))
+        if step % log_every == 0 or step == steps - 1:
+            history.append({k: float(v) for k, v in metrics.items()})
+    return variables, history
+
+
+# ---------------------------------------------------------------------------
+# Multiview / OLFT
+# ---------------------------------------------------------------------------
+
+def probe_sample_interval(touchup_bpp_ratio: float, bw_limit_ratio: float = 0.1):
+    """train_multiview.py:392-406: sampling interval = touch-up ratio /
+    bandwidth budget (how many GOPs to skip between training samples)."""
+    return max(touchup_bpp_ratio / max(bw_limit_ratio, 1e-6), 1.0)
+
+
+def train_multiview_olft(model, cfg: CodecConfig, dataset, *,
+                         steps: int = 20, learning_rate: float = 1e-4,
+                         only_backup_decoders: bool = True, seed: int = 0):
+    """MCVC-IA-OLFT online fine-tuning: sample GOPs from the streaming pool,
+    supervise surviving views against touch-up-corrected reconstructions
+    (train_multiview.py:213-303; onlydecoder => only 'backup' params train,
+    :153)."""
+    from fvc.models.mcvc import (
+        mcvc_gop_metrics, replace_topk_pixels, sample_view_mask,
+    )
+
+    rng = np.random.RandomState(seed)
+    first = dataset.sample()  # [gop, views, H, W, 3]
+    G, V, H, W, _ = first.shape
+    frames0 = jnp.asarray(first.reshape(G, V, H, W, 3))
+    mask0 = jnp.asarray(sample_view_mask(
+        1, V, cfg.resilience, training=True, rng=rng))
+    variables = model.init(jax.random.PRNGKey(seed), frames0, mask0,
+                           training=True, rng=jax.random.PRNGKey(seed + 1))
+
+    label_fn = None
+    if only_backup_decoders:
+        def label_fn(path, _):
+            return "train" if any("backup" in str(p) for p in path) else "freeze"
+        partition = jax.tree_util.tree_map_with_path(label_fn, variables)
+        optimizer = optax.multi_transform(
+            {"train": optax.adam(learning_rate), "freeze": optax.set_to_zero()},
+            partition)
+    else:
+        optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(variables)
+
+    @jax.jit
+    def step_fn(params, opt_state, frames, mask, key):
+        def loss_fn(p):
+            out = model.apply(p, frames, mask, training=True, rng=key)
+            # touch-up supervision: replace top-r% error pixels with truth
+            touched = jax.vmap(
+                lambda r, t: replace_topk_pixels(r, t, cfg.sample_ratio)[0]
+            )(out["x_ref"], frames)
+            m = mask[None, :, None, None, None]
+            mse = jnp.sum(jnp.square((out["x_hat"] - jax.lax.stop_gradient(touched)) * m)) \
+                / jnp.maximum(jnp.sum(m) * frames.shape[2] * frames.shape[3] * 3, 1.0)
+            return cfg.rate_lambda * mse, mse
+        (loss, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, mse
+
+    history = []
+    for step in range(steps):
+        clip = dataset.sample()
+        frames = jnp.asarray(clip.reshape(G, V, H, W, 3))
+        mask = jnp.asarray(sample_view_mask(
+            1, V, cfg.resilience, training=True, rng=rng))
+        variables, opt_state, mse = step_fn(
+            variables, opt_state, frames, mask, jax.random.PRNGKey(seed + step))
+        history.append(float(mse))
+    return variables, history

@@ -21,7 +21,10 @@ from fvc.dist.mesh import frames_spec, replicated
 
 def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.0,
                    clip_norm: Optional[float] = None):
-    tx = []
+    # zero_nans + elementwise clip BEFORE the global-norm clip: a single
+    # inf/NaN gradient spike would otherwise make the global norm inf and
+    # clip_by_global_norm emit 0*inf = NaN into every parameter.
+    tx = [optax.zero_nans(), optax.clip(1e3)]
     if clip_norm:
         tx.append(optax.clip_by_global_norm(clip_norm))
     if weight_decay:

@@ -1,0 +1,87 @@
+"""Training-loop smoke tests: short runs on synthetic data must reduce loss."""
+
+import numpy as np
+import pytest
+import jax
+
+from fvc.core.config import CodecConfig
+from fvc.data.datasets import SyntheticVideoDataset
+
+
+def test_train_iterpred_loss_decreases():
+    from fvc.models.dvc import IterPredCodec
+    from fvc.train.loop import train_iterpred
+
+    cfg = CodecConfig.from_name("DVC", channels=16, compression_level=2)
+    model = IterPredCodec(cfg)
+    ds = SyntheticVideoDataset(num_videos=4, frames=4, height=64, width=64)
+    _, history = train_iterpred(model, cfg, ds, steps=30, gop=3,
+                                learning_rate=1e-3, log_every=1)
+    first = np.mean([h["loss"] for h in history[:5]])
+    last = np.mean([h["loss"] for h in history[-5:]])
+    assert last < first, (first, last)
+
+
+def test_train_lsvc_loss_decreases():
+    from fvc.models.lsvc import LSVC
+    from fvc.train.loop import train_single_view
+
+    cfg = CodecConfig.from_name("LSVC", compression_level=1)
+    model = LSVC(cfg)
+    ds = SyntheticVideoDataset(num_videos=4, frames=4, height=64, width=64)
+    _, history = train_single_view(model, cfg, ds, steps=25, gop=2,
+                                   learning_rate=1e-3, log_every=1)
+    first = np.mean([h["loss"] for h in history[:4]])
+    last = np.mean([h["loss"] for h in history[-4:]])
+    assert last < first, (first, last)
+
+
+def test_train_mcvc_olft_only_backup_params_change():
+    from fvc.models.mcvc import MCVC
+    from fvc.data.datasets import MultiViewVideoDataset
+    from fvc.train.loop import train_multiview_olft
+
+    cfg = CodecConfig.from_name("MCVC-IA-OLFT", num_views=4, resilience=1,
+                                sample_ratio=0.05, compression_level=1)
+    model = MCVC(cfg, planes=32, mid=16)
+    ds = MultiViewVideoDataset(category="office", gop=2, height=128, width=128,
+                               num_samples=2)
+    variables, history = train_multiview_olft(
+        model, cfg, ds, steps=3, learning_rate=1e-3)
+    assert len(history) == 3
+    assert all(np.isfinite(history))
+
+
+def test_probe_sample_interval():
+    from fvc.train.loop import probe_sample_interval
+
+    assert probe_sample_interval(0.5, 0.1) == 5.0
+    assert probe_sample_interval(0.01, 0.1) == 1.0  # floor at 1
+
+
+def test_bd_rate_known_values():
+    from fvc.train.evaluate import bd_psnr, bd_rate
+
+    # curve 2 = curve 1 shifted to half the rate at equal PSNR -> BD-rate -50%
+    r1 = np.array([1.0, 2.0, 4.0, 8.0])
+    p1 = np.array([30.0, 33.0, 36.0, 39.0])
+    r2 = r1 / 2.0
+    bd = bd_rate(r1, p1, r2, p1)
+    assert abs(bd - (-50.0)) < 1.0, bd
+    # identical curves -> 0
+    assert abs(bd_rate(r1, p1, r1, p1)) < 1e-9
+    assert abs(bd_psnr(r1, p1, r1, p1)) < 1e-9
+    # curve 2 = +1 dB at equal rate
+    assert abs(bd_psnr(r1, p1, r1, p1 + 1.0) - 1.0) < 1e-6
+
+
+def test_eval_log_format(tmp_path):
+    from fvc.train.evaluate import write_eval_log
+
+    results = [{"bpp": 0.1, "psnr": 32.0, "psnr_list": [31.0, 33.0],
+                "time_per_frame": 0.01, "i_bpp": None, "i_psnr": None}]
+    path = str(tmp_path / "LSVC.UVG.log")
+    write_eval_log(path, "LSVC", "UVG", results)
+    lines = open(path).read().strip().split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("LSVC UVG 0.1")
