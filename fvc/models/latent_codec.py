@@ -11,8 +11,12 @@ both sides (RLVC mode), and three entropy modes:
                 conditional with RPM-derived (sigma, mu) afterwards
                 (entropy_models.py:54-69).
 
-All recurrent state is explicit and scan-friendly. Bits are estimated with the
-reference's clamp estimator; real coding goes through fvc.entropy.coder.
+`analysis` / `synthesis` are standalone methods so the real-bitstream paths
+(fvc.models.bitstream) can run encoder-only / decoder-only programs on device
+around the host rANS coder — the compress_slow/decompress_slow split
+(entropy_models.py:97-148) without per-stage host round-trips.
+
+All recurrent state is explicit and scan-friendly.
 """
 
 from __future__ import annotations
@@ -58,32 +62,75 @@ class LatentCodec(nn.Module):
     recurrent: bool = False
     entropy: str = "factorized"  # 'factorized' | 'rpm' | 'rpm2'
 
-    @nn.compact
-    def __call__(self, x, state: CoderState, rpm_flag, *, training: bool, rng=None):
-        """Returns (hat, new_state, out) where out carries bits_est/likelihood.
-        rpm_flag may be a traced bool (scan step > 0)."""
-        C = self.channels
-        k = self.kernel
-
-        # ----- analysis -----
-        enc_state, dec_state = jnp.split(state.rae, 2, axis=-1)
-        y = GDN()(Conv(C, kernel=k, stride=2)(x))
-        y = GDN()(Conv(C, kernel=k, stride=2)(y))
+    def setup(self):
+        C, k = self.channels, self.kernel
+        self.enc_conv1 = Conv(C, kernel=k, stride=2)
+        self.enc_conv2 = Conv(C, kernel=k, stride=2)
+        self.enc_conv3 = Conv(C, kernel=k, stride=2)
+        self.enc_conv4 = Conv(C, kernel=k, stride=2, use_bias=False)
+        self.enc_gdn1 = GDN()
+        self.enc_gdn2 = GDN()
+        self.enc_gdn3 = GDN()
+        self.dec_conv1 = Deconv(C, kernel=k)
+        self.dec_conv2 = Deconv(C, kernel=k)
+        self.dec_conv3 = Deconv(C, kernel=k)
+        self.dec_conv4 = Deconv(self.in_features, kernel=k)
+        self.dec_gdn1 = GDN(inverse=True)
+        self.dec_gdn2 = GDN(inverse=True)
+        self.dec_gdn3 = GDN(inverse=True)
         if self.recurrent:
-            y, enc_state = ConvLSTM(C, name="enc_lstm")(y, enc_state)
-        y = GDN()(Conv(C, kernel=k, stride=2)(y))
-        latent = Conv(C, kernel=k, stride=2, use_bias=False)(y)
+            self.enc_lstm = ConvLSTM(C)
+            self.dec_lstm = ConvLSTM(C)
+        if self.entropy == "rpm":
+            self.entropy_bottleneck = EntropyBottleneck(C)
+            self.rpm_net = RPM(C)
+        elif self.entropy == "rpm2":
+            self.bit_estimator = BitEstimator(C)
+            self.rpm_net = RPM(C)
+        else:
+            self.bit_estimator = BitEstimator(C)
 
-        # ----- quantization + likelihood -----
+    # ------------------------------------------------------------------
+    # transform halves
+    # ------------------------------------------------------------------
+
+    def analysis(self, x, enc_state):
+        y = self.enc_gdn1(self.enc_conv1(x))
+        y = self.enc_gdn2(self.enc_conv2(y))
+        if self.recurrent:
+            y, enc_state = self.enc_lstm(y, enc_state)
+        y = self.enc_gdn3(self.enc_conv3(y))
+        return self.enc_conv4(y), enc_state
+
+    def synthesis(self, latent_hat, dec_state):
+        z = self.dec_gdn1(self.dec_conv1(latent_hat))
+        z = self.dec_gdn2(self.dec_conv2(z))
+        if self.recurrent:
+            z, dec_state = self.dec_lstm(z, dec_state)
+        z = self.dec_gdn3(self.dec_conv3(z))
+        return self.dec_conv4(z), dec_state
+
+    def factorized_cdf(self, x):
+        """Evaluate the learned CDF F(x) (for host-side table building)."""
+        return self.bit_estimator(x)
+
+    def rpm_params(self, prior_latent, rpm_state):
+        sigma_raw, mu, rpm_state = self.rpm_net(prior_latent, rpm_state)
+        return rpm_scale(sigma_raw), mu, rpm_state
+
+    # ------------------------------------------------------------------
+    # full forward (training / estimate mode)
+    # ------------------------------------------------------------------
+
+    def __call__(self, x, state: CoderState, rpm_flag, *, training: bool, rng=None):
+        enc_state, dec_state = jnp.split(state.rae, 2, axis=-1)
+        latent, enc_state = self.analysis(x, enc_state)
+
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
         if self.entropy == "rpm":
-            # RLVC: EB on first P-frame, RPM Gaussian afterwards. Both branches
-            # are traced; lax.cond selects at runtime (scan-compatible).
-            eb = EntropyBottleneck(C, name="entropy_bottleneck")
-            rpm_net = RPM(C, name="rpm")
-            latent_eb, p_eb = eb(latent, training=training, rng=rngs[0])
-            sigma_raw, mu, rpm_state = rpm_net(state.prior_latent, state.rpm)
-            sigma = rpm_scale(sigma_raw)
+            latent_eb, p_eb = self.entropy_bottleneck(
+                latent, training=training, rng=rngs[0])
+            sigma, mu, rpm_state = self.rpm_params(state.prior_latent, state.rpm)
             latent_g, p_g = gaussian_conditional(
                 latent, sigma, mu, training=training, rng=rngs[1])
             latent_hat = _select(rpm_flag, latent_g, latent_eb)
@@ -91,34 +138,26 @@ class LatentCodec(nn.Module):
             new_rpm = _select(rpm_flag, rpm_state, state.rpm)
             aux = {"sigma": sigma, "mu": mu}
         elif self.entropy == "rpm2":
-            be = BitEstimator(C, name="bit_estimator")
-            rpm_net = RPM(C, name="rpm")
             latent_hat = quantize(latent, training, rngs[0])
-            p_fac = _bitparm_likelihood(be, latent_hat)
-            sigma_raw, _mu_unused, rpm_state = rpm_net(state.prior_latent, state.rpm)
-            sigma = rpm_scale(sigma_raw)
+            p_fac = self.factorized_cdf(latent_hat + 0.5) - \
+                self.factorized_cdf(latent_hat - 0.5)
+            sigma, _mu, rpm_state = self.rpm_params(state.prior_latent, state.rpm)
             # reference forces mu = 0 (models.py:616-620)
             p_rpm = laplace_interval_likelihood(latent_hat, sigma)
             likelihood = _select(rpm_flag, p_rpm, p_fac)
             new_rpm = _select(rpm_flag, rpm_state, state.rpm)
             aux = {"sigma": sigma}
         else:  # factorized
-            be = BitEstimator(C, name="bit_estimator")
             latent_hat = quantize(latent, training, rngs[0])
-            likelihood = _bitparm_likelihood(be, latent_hat)
+            likelihood = self.factorized_cdf(latent_hat + 0.5) - \
+                self.factorized_cdf(latent_hat - 0.5)
             new_rpm = state.rpm
             aux = {}
 
         prior_latent = jax.lax.stop_gradient(jnp.round(latent))
         bits_est = bits_from_likelihood(likelihood)
 
-        # ----- synthesis -----
-        z = GDN(inverse=True)(Deconv(C, kernel=k)(latent_hat))
-        z = GDN(inverse=True)(Deconv(C, kernel=k)(z))
-        if self.recurrent:
-            z, dec_state = ConvLSTM(C, name="dec_lstm")(z, dec_state)
-        z = GDN(inverse=True)(Deconv(C, kernel=k)(z))
-        hat = Deconv(self.in_features, kernel=k)(z)
+        hat, dec_state = self.synthesis(latent_hat, dec_state)
 
         new_state = CoderState(
             rae=jax.lax.stop_gradient(jnp.concatenate([enc_state, dec_state], axis=-1)),
@@ -130,10 +169,6 @@ class LatentCodec(nn.Module):
         return hat, new_state, out
 
 
-def _bitparm_likelihood(be: BitEstimator, latent_hat):
-    return be(latent_hat + 0.5) - be(latent_hat - 0.5)
-
-
 def _select(flag, a, b):
-    """where(flag, a, b) for traced scalar flags over pytree-shaped arrays."""
+    """where(flag, a, b) for traced scalar flags over arrays."""
     return jnp.where(flag, a, b)

@@ -231,3 +231,79 @@ class LSVC(nn.Module):
             "mc_frames": mc_all,
         }
         return com, out
+
+    # ------------------------------------------------------------------
+    # Real-bitstream halves (TreeFrameReconCompress/Decompress equivalents,
+    # models.py:1095-1152): the device computes rounded latents + sigma; the
+    # host rANS-codes them (fvc.models.bitstream).
+    # ------------------------------------------------------------------
+
+    def collect_latents(self, x):
+        """Eval forward that returns every rounded latent needed to rebuild
+        the GOP: mv_q [bs,h/16,w/16,ch], z_q [bs,h/64,w/64,64],
+        feat_q [bs,h/16,w/16,96], plus recon for verification."""
+        cfg = self.config
+        bs = x.shape[0] - 1
+        g, layers, parents = graph_from_batch(
+            bs, linear=cfg.linear_chain, onehop=cfg.one_hop)
+        ref_index = ref_index_from_graph(g, bs)
+        layers = pruned_layers(layers, bs)
+
+        target = x[1:]
+        refs = x[jnp.asarray(ref_index)]
+        estmv = self.optic_flow(target, refs)
+        mv_q = jnp.round(self.mv_encoder(estmv))
+        mv_hat = self.mv_decoder(mv_q)
+
+        com = jnp.zeros_like(target)
+        z_list = [None] * bs
+        feat_list = [None] * bs
+        for layer in layers:
+            idx = jnp.asarray([t - 1 for t in layer])
+            ref_stack = jnp.stack(
+                [x[0] if parents[t] == 0 else com[parents[t] - 1] for t in layer])
+            warped = flow_warp(ref_stack, mv_hat[idx])
+            mc = self.warpnet(
+                jnp.concatenate([warped, ref_stack], axis=-1)) + warped
+            res = target[idx] - mc
+            feat = self.res_encoder(res)
+            z_q = jnp.round(self.prior_encoder(feat))
+            feat_q = jnp.round(feat)
+            res_hat = self.res_decoder(feat_q)
+            com_l = jnp.clip(res_hat + mc, 0.0, 1.0)
+            com = com.at[idx].set(com_l)
+            for i, t in enumerate(layer):
+                z_list[t - 1] = z_q[i]
+                feat_list[t - 1] = feat_q[i]
+        return {"mv_q": mv_q, "z_q": jnp.stack(z_list),
+                "feat_q": jnp.stack(feat_list), "recon": com}
+
+    def sigma_of_z(self, z_q):
+        return self.prior_decoder(z_q)
+
+    def reconstruct(self, x0, mv_q, feat_q):
+        """Decode-side tree reconstruction from entropy-decoded latents."""
+        cfg = self.config
+        bs = mv_q.shape[0]
+        g, layers, parents = graph_from_batch(
+            bs, linear=cfg.linear_chain, onehop=cfg.one_hop)
+        layers = pruned_layers(layers, bs)
+        mv_hat = self.mv_decoder(mv_q)
+        B, H, W = bs, x0.shape[0], x0.shape[1]
+        com = jnp.zeros((B, H, W, 3), x0.dtype)
+        for layer in layers:
+            idx = jnp.asarray([t - 1 for t in layer])
+            ref_stack = jnp.stack(
+                [x0 if parents[t] == 0 else com[parents[t] - 1] for t in layer])
+            warped = flow_warp(ref_stack, mv_hat[idx])
+            mc = self.warpnet(
+                jnp.concatenate([warped, ref_stack], axis=-1)) + warped
+            res_hat = self.res_decoder(feat_q[idx])
+            com = com.at[idx].set(jnp.clip(res_hat + mc, 0.0, 1.0))
+        return com
+
+    def mv_cdf(self, x):
+        return self.bit_estimator_mv(x)
+
+    def z_cdf(self, x):
+        return self.bit_estimator_z(x)
