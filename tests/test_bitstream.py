@@ -59,3 +59,24 @@ def test_lsvc_decode_matches_eval_forward():
     streams, info = codec.compress(x)
     decoded = codec.decompress(x[0], streams, info)
     np.testing.assert_allclose(decoded, np.asarray(com_eval), atol=1e-5)
+
+
+def test_dvc_real_bitstream_roundtrip():
+    from fvc.models.dvc import IterPredCodec
+    from fvc.models.bitstream_dvc import DVCBitstreamCodec
+
+    cfg = CodecConfig.from_name("DVC", channels=32)
+    model = IterPredCodec(cfg)
+    rng = np.random.RandomState(2)
+    T, B, H, W = 4, 1, 64, 64
+    frames = np.clip(rng.rand(T, B, H, W, 3), 0, 1).astype(np.float32)
+    state = model.init_state(B, H, W)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(frames[0]),
+                           jnp.asarray(frames[1]), state, False, training=False)
+
+    codec = DVCBitstreamCodec(model, variables)
+    streams, info = codec.compress(frames)
+    assert all(len(v) > 0 for v in streams.values())
+    decoded = codec.decompress(frames[0], streams, info)
+    np.testing.assert_allclose(decoded, info["recon"], atol=1e-5)
+    assert decoded.shape == (T - 1, B, H, W, 3)
