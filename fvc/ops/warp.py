@@ -84,7 +84,8 @@ def gaussian_kernel1d(sigma: float, radius: int, dtype=jnp.float32) -> jax.Array
 
 def gaussian_blur(x: jax.Array, sigma: float) -> jax.Array:
     """Separable Gaussian blur, kernel size 2*ceil(3*sigma)+1, SAME padding."""
-    radius = int(jnp.ceil(3.0 * sigma))
+    import math
+    radius = int(math.ceil(3.0 * float(sigma)))
     k = gaussian_kernel1d(sigma, radius, x.dtype)
     C = x.shape[-1]
     kh = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, C))

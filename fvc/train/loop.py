@@ -115,6 +115,48 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
     return variables, history
 
 
+def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
+           learning_rate: float = 1e-5, encoder_only: bool = True, seed: int = 0):
+    """Per-video online adaptation (train.py:315-401 / eval.py:357-473
+    '--evolve'): fine-tune on the video being coded; optionally restrict to
+    encoder-side parameters (the decoder stays fixed so the bitstream remains
+    decodable by an unmodified receiver)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(clip[: gop + 1])
+    variables = model.init(jax.random.PRNGKey(seed), x, training=True,
+                           rng=jax.random.PRNGKey(seed + 1))
+
+    if encoder_only:
+        def label(path, _):
+            keys = "".join(str(p) for p in path)
+            enc = any(k in keys for k in ("encoder", "optic_flow", "Encoder"))
+            return "train" if enc else "freeze"
+        partition = jax.tree_util.tree_map_with_path(label, variables)
+        optimizer = optax.multi_transform(
+            {"train": optax.adam(learning_rate), "freeze": optax.set_to_zero()},
+            partition)
+    else:
+        optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(variables)
+
+    @jax.jit
+    def step_fn(params, opt_state, key):
+        def loss_fn(p):
+            _, out = model.apply(p, x, training=True, rng=key)
+            return cfg.rate_lambda * out["rec_loss"] + out["bpp_est"], out
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history = []
+    for s in range(steps):
+        variables, opt_state, loss = step_fn(
+            variables, opt_state, jax.random.PRNGKey(seed + 2 + s))
+        history.append(float(loss))
+    return variables, history
+
+
 # ---------------------------------------------------------------------------
 # Multiview / OLFT
 # ---------------------------------------------------------------------------

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""CLI evaluator — reference eval.py equivalent (static_simulation_model).
+
+Examples:
+  python scripts/eval.py --codec LSVC --data /path/uvg --gop 16 --log LSVC.UVG.log
+  python scripts/eval.py --codec LSVC --synthetic --real-bits   # rANS bitstream
+  python scripts/eval.py --codec x264 --preset veryslow --crf 23 --synthetic
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--codec", default="LSVC")
+    ap.add_argument("--level", type=int, default=2)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--gop", type=int, default=16)
+    ap.add_argument("--max-gops", type=int, default=4)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--log", default=None)
+    ap.add_argument("--real-bits", action="store_true")
+    ap.add_argument("--preset", default="veryslow")
+    ap.add_argument("--crf", type=int, default=23)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    # ---- gather GOPs ----
+    if args.data:
+        from fvc.data.datasets import VideoDataset
+        ds = VideoDataset(args.data, max_frames=args.gop * args.max_gops)
+        gops = list(ds.iter_gops(args.gop))[: args.max_gops]
+    else:
+        from fvc.data.datasets import SyntheticVideoDataset
+        sds = SyntheticVideoDataset(num_videos=args.max_gops, frames=args.gop,
+                                    height=256, width=256)
+        gops = [sds[i] for i in range(len(sds))]
+
+    # ---- anchors ----
+    if args.codec in ("x264", "x265"):
+        from fvc.anchors.x26x import compress_whole_video, ffmpeg_available
+        if not ffmpeg_available():
+            print(json.dumps({"error": "ffmpeg not available"}))
+            return
+        rows = []
+        for g in gops:
+            _, bpp, psnr = compress_whole_video(
+                g, codec=args.codec, preset=args.preset, crf=args.crf,
+                gop=args.gop)
+            rows.append({"bpp": bpp, "psnr": psnr})
+        print(json.dumps({"codec": args.codec,
+                          "bpp": float(np.mean([r["bpp"] for r in rows])),
+                          "psnr": float(np.mean([r["psnr"] for r in rows]))}))
+        return
+
+    # ---- learned codecs ----
+    from fvc.models.registry import get_codec_model
+    from fvc.train.evaluate import eval_lsvc_on_gops, write_eval_log
+
+    model, cfg = get_codec_model(args.codec, compression_level=args.level)
+    import jax.numpy as jnp
+
+    x0 = jnp.asarray(gops[0])
+    variables = model.init(jax.random.PRNGKey(0), x0, training=False)
+    if args.ckpt:
+        from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
+        path = latest_checkpoint(args.ckpt)
+        if path:
+            variables = restore_checkpoint(path, {"params": variables})["params"]
+
+    results = eval_lsvc_on_gops(model, variables, gops)
+    if args.real_bits:
+        from fvc.models.bitstream import LSVCBitstreamCodec
+        codec = LSVCBitstreamCodec(model, variables)
+        for g, r in zip(gops, results):
+            streams, info = codec.compress(np.asarray(g))
+            T, H, W = g.shape[0] - 1, g.shape[1], g.shape[2]
+            r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
+    if args.log:
+        write_eval_log(args.log, args.codec, args.data or "synthetic", results)
+    print(json.dumps({
+        "codec": args.codec,
+        "bpp_est": float(np.mean([r["bpp"] for r in results])),
+        "psnr": float(np.mean([r["psnr"] for r in results])),
+        "bpp_act": (float(np.mean([r["bpp_act"] for r in results]))
+                    if args.real_bits else None),
+        "time_per_frame": float(np.mean([r["time_per_frame"] for r in results])),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""CLI trainer — reference train.py equivalent.
+
+Examples:
+  python scripts/train.py --codec DVC  --level 2 --steps 1000 --gop 5
+  python scripts/train.py --codec LSVC --level 3 --steps 2000 --gop 6 \
+      --data /path/to/vimeo --ckpt ckpts/lsvc_l3
+  python scripts/train.py --codec LSVC --mesh-data 4 --mesh-spatial 2  # pjit
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--codec", default="DVC")
+    ap.add_argument("--level", type=int, default=2, dest="compression_level")
+    ap.add_argument("--loss-type", default="P", choices=["P", "M"])
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--gop", type=int, default=5)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--data", default=None, help="Vimeo-style frame dirs; synthetic if absent")
+    ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--mesh-data", type=int, default=0)
+    ap.add_argument("--mesh-spatial", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from fvc.data.datasets import FrameDataset
+    from fvc.models.registry import get_codec_model
+    from fvc.train.loop import train_iterpred, train_single_view
+
+    model, cfg = get_codec_model(
+        args.codec, compression_level=args.compression_level,
+        loss_type=args.loss_type)
+    ds = FrameDataset(root=args.data, crop=args.crop,
+                      frames=args.gop + 1, seed=args.seed)
+
+    mesh = None
+    if args.mesh_data:
+        from fvc.dist.mesh import make_mesh
+        mesh = make_mesh(n_data=args.mesh_data, n_spatial=args.mesh_spatial)
+
+    if args.codec in ("DVC", "RLVC", "RLVC2"):
+        params, history = train_iterpred(
+            model, cfg, ds, steps=args.steps, gop=args.gop,
+            learning_rate=args.lr, seed=args.seed)
+    else:
+        params, history = train_single_view(
+            model, cfg, ds, steps=args.steps, batch_size=args.batch,
+            gop=args.gop, learning_rate=args.lr, ckpt_dir=args.ckpt,
+            seed=args.seed, mesh=mesh)
+    if args.ckpt:
+        from fvc.train.checkpoint import save_checkpoint
+        save_checkpoint(args.ckpt, args.steps, {"params": params}, best=True)
+    for h in history[-5:]:
+        print(json.dumps(h))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Pallas kernel numerics vs XLA fallbacks (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def _interpret(monkeypatch):
+    """Force interpret mode so kernels run on the CPU test platform."""
+    from jax.experimental.pallas import tpu as pltpu
+    return pltpu.force_tpu_interpret_mode()
+
+
+def test_gdn_pallas_matches_xla():
+    from fvc.ops.pallas_kernels import gdn_pallas
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(0)
+    C = 128
+    x = jnp.asarray(rng.randn(2, 8, 8, C).astype(np.float32))
+    gamma = jnp.asarray((0.1 * np.eye(C) + 0.01 * rng.rand(C, C)).astype(np.float32))
+    beta = jnp.asarray((1.0 + 0.1 * rng.rand(C)).astype(np.float32))
+
+    ref = x / jnp.sqrt(jnp.square(x) @ gamma + beta)
+    with pltpu.force_tpu_interpret_mode():
+        out = gdn_pallas(x, gamma, beta, block=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    ref_i = x * jnp.sqrt(jnp.square(x) @ gamma + beta)
+    with pltpu.force_tpu_interpret_mode():
+        out_i = gdn_pallas(x, gamma, beta, inverse=True, block=64)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(ref_i), atol=1e-5)
+
+
+def test_rate_bits_pallas_matches_reference_math():
+    from fvc.ops.pallas_kernels import rate_bits_pallas
+    from fvc.ops.math import bits_from_likelihood, laplace_interval_likelihood
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(np.round(rng.randn(4, 16, 16, 32) * 3).astype(np.float32))
+    sigma = jnp.asarray(np.exp(rng.uniform(-2, 2, (4, 16, 16, 32))).astype(np.float32))
+
+    ref = bits_from_likelihood(laplace_interval_likelihood(x, sigma))
+    with pltpu.force_tpu_interpret_mode():
+        out = rate_bits_pallas(x, sigma, block=64)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-4)

@@ -29,11 +29,13 @@ def test_train_lsvc_loss_decreases():
     cfg = CodecConfig.from_name("LSVC", compression_level=1)
     model = LSVC(cfg)
     ds = SyntheticVideoDataset(num_videos=4, frames=4, height=64, width=64)
-    _, history = train_single_view(model, cfg, ds, steps=25, gop=2,
+    _, history = train_single_view(model, cfg, ds, steps=40, gop=2,
                                    learning_rate=1e-3, log_every=1)
-    first = np.mean([h["loss"] for h in history[:4]])
-    last = np.mean([h["loss"] for h in history[-4:]])
-    assert last < first, (first, last)
+    # single-sample batches are noisy; require the tail to be well below the
+    # fresh-init loss rather than a strict monotone decrease
+    first = history[0]["loss"]
+    last = np.mean([h["loss"] for h in history[-10:]])
+    assert last < 0.6 * first, (first, last)
 
 
 def test_train_mcvc_olft_only_backup_params_change():
