@@ -39,3 +39,21 @@ def compute_in(dtype: Optional[jnp.dtype]):
         yield
     finally:
         _COMPUTE_DTYPE.reset(token)
+
+
+_PALLAS_GDN: contextvars.ContextVar = contextvars.ContextVar(
+    "fvc_pallas_gdn", default=False)
+
+
+def pallas_gdn_enabled() -> bool:
+    return _PALLAS_GDN.get()
+
+
+@contextlib.contextmanager
+def pallas_gdn():
+    """Route GDN/IGDN through the fused Pallas kernel (TPU only)."""
+    token = _PALLAS_GDN.set(True)
+    try:
+        yield
+    finally:
+        _PALLAS_GDN.reset(token)

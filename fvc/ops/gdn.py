@@ -37,6 +37,11 @@ class GDN(nn.Module):
         beta = lower_bound(beta, beta_bound) ** 2 - pedestal
         gamma = lower_bound(gamma, gamma_bound) ** 2 - pedestal
 
+        from fvc.core.policy import pallas_gdn_enabled
+        if pallas_gdn_enabled():
+            from fvc.ops.pallas_kernels import gdn_pallas
+            return gdn_pallas(x, gamma, beta, inverse=self.inverse)
+
         # norm pool: [.., ch] @ [ch, ch] on the MXU
         norm = jnp.sqrt(jnp.square(x) @ gamma + beta)
         return x * norm if self.inverse else x / norm

@@ -167,6 +167,54 @@ def probe_sample_interval(touchup_bpp_ratio: float, bw_limit_ratio: float = 0.1)
     return max(touchup_bpp_ratio / max(bw_limit_ratio, 1e-6), 1.0)
 
 
+def pretrain_multiview(model, cfg: CodecConfig, dataset, *,
+                       steps: int = 20, learning_rate: float = 1e-4,
+                       seed: int = 0, converge_patience: int = 10,
+                       min_delta: float = 1e-4):
+    """MCVC pretraining (train_multiview.py --pretrain, :508-533): full-model
+    RD training on single-view clips (views enter the batch dim), with the
+    reference's converge-N early stop (no improvement > min_delta for
+    `converge_patience` evals)."""
+    from fvc.models.mcvc import mcvc_gop_metrics, sample_view_mask
+
+    rng = np.random.RandomState(seed)
+    first = dataset.sample() if hasattr(dataset, "sample") else dataset[0]
+    G, V, H, W, _ = first.shape
+    frames0 = jnp.asarray(first)
+    mask0 = jnp.ones((V,), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), frames0, mask0,
+                           training=True, rng=jax.random.PRNGKey(seed + 1))
+    optimizer = make_optimizer(learning_rate, clip_norm=1.0)
+    opt_state = optimizer.init(variables)
+
+    @jax.jit
+    def step_fn(params, opt_state, frames, mask, key):
+        def loss_fn(p):
+            out = model.apply(p, frames, mask, training=True, rng=key)
+            m = mcvc_gop_metrics(frames, out, cfg)
+            return cfg.rate_lambda * m["mse"] + m["bpp_est"], m
+        (loss, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history, best, stale = [], float("inf"), 0
+    for step in range(steps):
+        clip = dataset.sample() if hasattr(dataset, "sample") else \
+            dataset[rng.randint(0, len(dataset))]
+        variables, opt_state, loss = step_fn(
+            variables, opt_state, jnp.asarray(clip), mask0,
+            jax.random.PRNGKey(seed + 2 + step))
+        loss = float(loss)
+        history.append(loss)
+        if loss < best - min_delta:
+            best, stale = loss, 0
+        else:
+            stale += 1
+            if stale >= converge_patience:
+                break
+    return variables, history
+
+
 def train_multiview_olft(model, cfg: CodecConfig, dataset, *,
                          steps: int = 20, learning_rate: float = 1e-4,
                          only_backup_decoders: bool = True, seed: int = 0):

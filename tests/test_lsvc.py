@@ -81,3 +81,20 @@ def test_space_time_attention_stack():
     y = m.apply(variables, x)
     assert y.shape == x.shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_context_vp_causality():
+    """ContextVP's output at token t must not depend on tokens >= t
+    (shift-token causal contract, super_precision.py:421-424)."""
+    from fvc.models.context_vp import ContextVP
+
+    m = ContextVP(in_channels=8, out_channels=8, num_views=2, width=4, height=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))  # (b v)=2, v=2
+    variables = m.init(jax.random.PRNGKey(1), x)
+    y0 = m.apply(variables, x)
+    # perturb the LAST token; outputs for all earlier tokens must be unchanged
+    x2 = x.at[-1, -1, -1].add(10.0)
+    y1 = m.apply(variables, x2)
+    d = np.abs(np.asarray(y0) - np.asarray(y1)).reshape(-1, 8)
+    assert d[:-1].max() < 1e-5   # all tokens before the perturbed one
+    assert y0.shape == (2, 4, 4, 8)

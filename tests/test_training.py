@@ -87,3 +87,42 @@ def test_eval_log_format(tmp_path):
     lines = open(path).read().strip().split("\n")
     assert len(lines) == 2
     assert lines[0].startswith("LSVC UVG 0.1")
+
+
+def test_pretrain_multiview_early_stop():
+    from fvc.models.mcvc import MCVC
+    from fvc.data.datasets import MultiViewVideoDataset
+    from fvc.train.loop import pretrain_multiview
+
+    cfg = CodecConfig.from_name("MCVC-IA", num_views=4, compression_level=1)
+    model = MCVC(cfg, planes=32, mid=16)
+    ds = MultiViewVideoDataset(category="office", gop=2, height=128, width=128,
+                               num_samples=2)
+    _, history = pretrain_multiview(model, cfg, ds, steps=4, learning_rate=1e-4)
+    assert 1 <= len(history) <= 4
+    assert all(np.isfinite(history))
+
+
+def test_evolve_encoder_only():
+    from fvc.models.lsvc import LSVC
+    from fvc.train.loop import evolve
+
+    cfg = CodecConfig.from_name("LSVC", compression_level=1)
+    model = LSVC(cfg)
+    clip = SyntheticVideoDataset(num_videos=1, frames=3, height=64, width=64)[0]
+    _, history = evolve(model, cfg, clip, steps=4, gop=2, learning_rate=1e-4)
+    assert len(history) == 4 and all(np.isfinite(history))
+
+
+def test_lsvc_stage_times_smoke():
+    import jax.numpy as jnp
+    from fvc.models.lsvc import LSVC
+    from fvc.bench.stages import lsvc_stage_times
+
+    cfg = CodecConfig.from_name("LSVC")
+    model = LSVC(cfg)
+    x = jnp.asarray(SyntheticVideoDataset(1, 3, 64, 64)[0])
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+    times = lsvc_stage_times(model, variables, x, iters=2)
+    assert set(times) == {"E-FL", "E-MV", "D-MV", "E-MC", "D-MC", "E-RES", "D-RES"}
+    assert all(t > 0 for t in times.values())
