@@ -80,3 +80,27 @@ def test_dvc_real_bitstream_roundtrip():
     decoded = codec.decompress(frames[0], streams, info)
     np.testing.assert_allclose(decoded, info["recon"], atol=1e-5)
     assert decoded.shape == (T - 1, B, H, W, 3)
+
+
+def test_rlvc_real_bitstream_roundtrip():
+    """RPM-conditioned sequential real coding: per-frame streams, decoder
+    RPM chain driven by previously-decoded latents; reconstructions must match
+    the encoder's exactly."""
+    from fvc.models.dvc import IterPredCodec
+    from fvc.models.bitstream_rlvc import RLVCBitstreamCodec
+
+    cfg = CodecConfig.from_name("RLVC", channels=32)
+    model = IterPredCodec(cfg)
+    rng = np.random.RandomState(3)
+    T, B, H, W = 4, 1, 64, 64
+    frames = np.clip(rng.rand(T, B, H, W, 3), 0, 1).astype(np.float32)
+    state = model.init_state(B, H, W)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(frames[0]),
+                           jnp.asarray(frames[1]), state, False, training=False)
+
+    codec = RLVCBitstreamCodec(model, variables)
+    streams, info = codec.compress(frames)
+    assert len(streams) == T - 1
+    assert all(len(s["mv"]) > 0 and len(s["res"]) > 0 for s in streams)
+    decoded = codec.decompress(frames[0], streams, info)
+    np.testing.assert_allclose(decoded, info["recon"], atol=1e-5)

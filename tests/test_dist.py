@@ -62,3 +62,18 @@ def test_sharded_train_step_matches_single_device():
     _, _, m2 = step2(va, op, fr, jax.random.PRNGKey(2))
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+
+
+def test_multihost_helpers_single_process():
+    from fvc.dist.multihost import (
+        allgather_metrics, initialize, shard_gops_across_hosts,
+    )
+
+    initialize()  # no coordinator -> no-op
+    assert shard_gops_across_hosts(10, process_index=0, process_count=1) == list(range(10))
+    assert shard_gops_across_hosts(10, process_index=1, process_count=4) == [1, 5, 9]
+    # all indexes covered exactly once across processes
+    cover = sorted(sum((shard_gops_across_hosts(10, i, 3) for i in range(3)), []))
+    assert cover == list(range(10))
+    out = allgather_metrics([1.0, 2.0])
+    np.testing.assert_allclose(out, [1.0, 2.0])
