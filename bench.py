@@ -75,13 +75,15 @@ def main():
         jax.block_until_ready(forward(variables, x)[0])
 
     # time a dependent chain: feed reconstructions back as inputs so calls
-    # serialize even if the device queue is deep
+    # serialize even if the device queue is deep; end with a tiny D2H fetch —
+    # through the device tunnel, block_until_ready alone can return before the
+    # computation fully retires, but a host fetch of a dependent value cannot
     t0 = time.perf_counter()
     cur = x
     for _ in range(args.iters):
         com, bpp, psnr = forward(variables, cur)
         cur = jnp.concatenate([cur[:1], com], axis=0)
-    jax.block_until_ready(cur)
+    _ = np.asarray(cur[0, 0, 0])  # 12-byte sync fetch
     total = time.perf_counter() - t0
 
     sec_per_gop = total / args.iters

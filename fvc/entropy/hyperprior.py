@@ -142,21 +142,34 @@ class SSFHyperprior(nn.Module):
     super-precision predicting the unquantized latent from rounded latents.
 
     `q_prior`: previous frame's rounded latent (zeros for the first frame);
-    returns it updated for scan chaining.
+    returns it updated for scan chaining. `encode_z` / `params_from_z` are the
+    standalone halves the real-bitstream path needs (decode recomputes
+    (scales, means) from the entropy-decoded z).
     """
 
     planes: int = 192
     super_prec: bool = False
     sp_active: bool = False  # use predictor output as y_hat (spstage gating)
 
-    @nn.compact
+    def setup(self):
+        self.hyper_encoder = _HyperEncoder(self.planes)
+        self.entropy_bottleneck = EntropyBottleneck(self.planes)
+        self.hyper_decoder_scale = _HyperDecoderQReLU(self.planes)
+        self.hyper_decoder_mean = _HyperDecoder(self.planes)
+        if self.super_prec:
+            self.y_predictor = SPnet(out_channels=self.planes)
+
+    def encode_z(self, y):
+        return self.hyper_encoder(y)
+
+    def params_from_z(self, z_hat):
+        return self.hyper_decoder_scale(z_hat), self.hyper_decoder_mean(z_hat)
+
     def __call__(self, y, q_prior=None, *, training: bool, rng=None):
         r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
-        z = _HyperEncoder(self.planes)(y)
-        eb = EntropyBottleneck(self.planes, name="entropy_bottleneck")
-        z_hat, z_likelihood = eb(z, training=training, rng=r1)
-        scales = _HyperDecoderQReLU(self.planes, name="hyper_decoder_scale")(z_hat)
-        means = _HyperDecoder(self.planes, name="hyper_decoder_mean")(z_hat)
+        z = self.hyper_encoder(y)
+        z_hat, z_likelihood = self.entropy_bottleneck(z, training=training, rng=r1)
+        scales, means = self.params_from_z(z_hat)
         _, y_likelihood = gaussian_conditional(y, scales, means, training=training, rng=r2)
         y_hat = quantize_ste(y - means) + means
         q_y = jnp.round(y - means) + means
@@ -167,7 +180,7 @@ class SSFHyperprior(nn.Module):
             if q_prior is None:
                 q_prior = jnp.zeros_like(y)
             round_y = jnp.round(y - means)
-            pred = SPnet(out_channels=self.planes, name="y_predictor")(
+            pred = self.y_predictor(
                 jnp.concatenate([round_y, q_prior], axis=-1))
             pred_y = pred + round_y + jax.lax.stop_gradient(means)
             pred_err_y = pred_y - jax.lax.stop_gradient(y)

@@ -28,6 +28,11 @@ def get_codec_model(name: str, **kw):
     if name in ("DVC", "RLVC", "RLVC2"):
         from fvc.models.dvc import IterPredCodec
         return IterPredCodec(cfg), cfg
+    if name == "DVC-pretrained":
+        # the original-DVC architecture (hyperprior residual + factorized mv,
+        # DVC/net.py:38): BaseCodec without EC/ER is exactly that topology
+        from fvc.models.base_codec import BaseCodec
+        return BaseCodec(cfg), cfg
     if name.startswith("LSVC"):
         from fvc.models.lsvc import LSVC
         return LSVC(cfg), cfg

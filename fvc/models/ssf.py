@@ -81,6 +81,12 @@ class ScaleSpaceFlow(nn.Module):
     def __call__(self, x_cur, x_ref, *, training: bool, rng=None):
         return self.forward_inter(x_cur, x_ref, training=training, rng=rng)
 
+    def init_all(self, x_cur, x_ref, *, training: bool = False, rng=None):
+        """Exercise keyframe + inter branches so init creates every param
+        (linen creates params lazily on first use)."""
+        self.forward_keyframe(x_ref, training=training, rng=rng)
+        return self.forward_inter(x_cur, x_ref, training=training, rng=rng)
+
 
 def inter_bpp_est(likelihoods: dict, batch: int, h: int, w: int):
     """Reference bpp accounting for SSF-family outputs

@@ -25,10 +25,13 @@ def eval_lsvc_on_gops(model, variables, gops, *, i_codec=None, i_vars=None):
     and its bpp accounted (parallel_compression models.py:249-256)."""
     results = []
 
+    from fvc.ops.ms_ssim import ms_ssim_db
+
     @jax.jit
     def run(variables, x):
         com, out = model.apply(variables, x, training=False)
-        return out["bpp_est"], out["psnr"], out["psnr_list"]
+        msssim = jnp.mean(ms_ssim_db(x[1:], com))
+        return out["bpp_est"], out["psnr"], out["psnr_list"], msssim
 
     i_run = None
     if i_codec is not None:
@@ -44,11 +47,12 @@ def eval_lsvc_on_gops(model, variables, gops, *, i_codec=None, i_vars=None):
             x0_hat, i_bpp, i_psnr = i_run(i_vars, x[:1])
             x = x.at[0].set(x0_hat[0])
         t0 = time.perf_counter()
-        bpp, psnr, psnr_list = run(variables, x)
+        bpp, psnr, psnr_list, msssim = run(variables, x)
         jax.block_until_ready(psnr)
         dt = time.perf_counter() - t0
         results.append({
             "bpp": float(bpp), "psnr": float(psnr),
+            "msssim_db": float(msssim),
             "psnr_list": np.asarray(psnr_list).tolist(),
             "time_per_frame": dt / (x.shape[0] - 1),
             "i_bpp": None if i_bpp is None else float(i_bpp),

@@ -51,6 +51,8 @@ def main():
         from fvc.dist.mesh import make_mesh
         mesh = make_mesh(n_data=args.mesh_data, n_spatial=args.mesh_spatial)
 
+    print(f"training {args.codec} level={cfg.compression_level} "
+          f"steps={args.steps} gop={args.gop}", flush=True)
     if args.codec in ("DVC", "RLVC", "RLVC2"):
         params, history = train_iterpred(
             model, cfg, ds, steps=args.steps, gop=args.gop,

@@ -104,3 +104,25 @@ def test_rlvc_real_bitstream_roundtrip():
     assert all(len(s["mv"]) > 0 and len(s["res"]) > 0 for s in streams)
     decoded = codec.decompress(frames[0], streams, info)
     np.testing.assert_allclose(decoded, info["recon"], atol=1e-5)
+
+
+def test_ssf_real_bitstream_roundtrip():
+    """SSF-family (keyframe + motion/residual hyperpriors) real coding."""
+    from fvc.models.ssf import ScaleSpaceFlow
+    from fvc.models.bitstream_ssf import SSFBitstreamCodec
+
+    m = ScaleSpaceFlow(planes=32, mid=16)
+    rng = np.random.RandomState(4)
+    T, B, H, W = 3, 1, 128, 128
+    frames = np.clip(rng.rand(T, B, H, W, 3), 0, 1).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(frames[1]),
+                       jnp.asarray(frames[0]), training=False,
+                       method=ScaleSpaceFlow.init_all)
+
+    codec = SSFBitstreamCodec(m, variables)
+    streams, info = codec.compress(frames)
+    assert len(streams["inter"]) == T - 1
+    x0_hat, decoded = codec.decompress(streams, info)
+    np.testing.assert_allclose(x0_hat, info["x0_hat"], atol=1e-5)
+    np.testing.assert_allclose(decoded, info["recons"], atol=1e-5)
+    assert codec.num_bits(streams) > 0
