@@ -49,8 +49,8 @@ class GenNet(nn.Module):
         h = GDN()(Conv(self.hidden, kernel=5)(h))
         h = GDN()(Conv(self.hidden, kernel=5)(h))
         h = GDN()(Conv(self.hidden, kernel=5)(h))
-        h = GDN()(Conv(self.channels, kernel=5)(h))
-        return h + x  # residualER=True
+        h = GDN()(Conv(self.channels, kernel=5, zero_init=True)(h))
+        return h + x  # residualER=True; starts as identity (see Conv.zero_init)
 
 
 class BaseCodec(nn.Module):

@@ -49,7 +49,8 @@ class WarpNet(nn.Module):
         c4 = ResBlock(self.channels)(c3u)
         c4u = c0 + upsample2x(c4, align_corners=True)
         c5 = ResBlock(self.channels)(c4u)
-        return Conv(self.out_features, kernel=3)(c5)
+        # zero-init: MC starts exactly at the warped frame (see Conv.zero_init)
+        return Conv(self.out_features, kernel=3, zero_init=True)(c5)
 
 
 def motion_compensation(warpnet_apply, ref, mv):

@@ -62,19 +62,27 @@ def deconv2d_x2(x, w, b=None, *, kernel: int):
 
 class Conv(nn.Module):
     """Stride-s conv, SAME padding for odd kernels at stride 1; for stride 2 the
-    PyTorch padding=k//2 geometry (out = ceil(in/2)) is used."""
+    PyTorch padding=k//2 geometry (out = ceil(in/2)) is used.
+
+    `zero_init` zero-initializes the kernel — used for final projection convs
+    of refinement nets (WarpNet, MEBasic, GenNet) so a fresh model starts as
+    an identity refinement: the reference's xavier init makes the fresh-init
+    motion-compensation output swamp the warped frame (mc_loss >> warp_loss),
+    a training-stability hazard the TPU build removes."""
 
     features: int
     kernel: int = 3
     stride: int = 1
     use_bias: bool = True
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
         p = self.kernel // 2
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"))
         w = self.param(
-            "kernel",
-            nn.initializers.variance_scaling(1.0, "fan_avg", "uniform"),  # xavier
+            "kernel", init,
             (self.kernel, self.kernel, x.shape[-1], self.features),
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None

@@ -36,7 +36,9 @@ class MEBasic(nn.Module):
         x = jax.nn.relu(Conv(64, kernel=7)(x))
         x = jax.nn.relu(Conv(32, kernel=7)(x))
         x = jax.nn.relu(Conv(16, kernel=7)(x))
-        return Conv(2, kernel=7)(x)
+        # zero-init: each pyramid level starts as "keep the upsampled coarse
+        # flow" (see Conv.zero_init); pretrained .npy weights override this
+        return Conv(2, kernel=7, zero_init=True)(x)
 
 
 class SpyNet(nn.Module):

@@ -126,3 +126,30 @@ def test_ssf_real_bitstream_roundtrip():
     np.testing.assert_allclose(x0_hat, info["x0_hat"], atol=1e-5)
     np.testing.assert_allclose(decoded, info["recons"], atol=1e-5)
     assert codec.num_bits(streams) > 0
+
+
+def test_elfvc_sp_real_bitstream_roundtrip():
+    """Vesper real coding incl. super-precision: decoder rebuilds SPnet
+    predictions from decoded latents; recon must match the encoder-side chain
+    and the model's own eval forward."""
+    from fvc.models.elfvc import ELFVC
+    from fvc.models.bitstream_elfvc import ELFVCBitstreamCodec
+
+    cfg = CodecConfig.from_name("ELFVC-SP", sp_stage=1)
+    model = ELFVC(cfg, planes=32, mid=16)
+    rng = np.random.RandomState(5)
+    T, B, H, W = 3, 1, 128, 128
+    frames = np.clip(rng.rand(T, B, H, W, 3), 0, 1).astype(np.float32)
+    state = model.init_state(B, H, W)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(frames[1]),
+                           jnp.asarray(frames[0]), state, training=False)
+
+    codec = ELFVCBitstreamCodec(model, variables)
+    streams, info = codec.compress(frames)
+    decoded = codec.decompress(frames[0], streams, info)
+    np.testing.assert_allclose(decoded, info["recon"], atol=1e-5)
+
+    # cross-check frame 1 against the model's own eval forward
+    x_rec, _, _ = model.apply(variables, jnp.asarray(frames[1]),
+                              jnp.asarray(frames[0]), state, training=False)
+    np.testing.assert_allclose(decoded[0], np.asarray(x_rec), atol=1e-4)
