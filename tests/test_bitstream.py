@@ -153,3 +153,30 @@ def test_elfvc_sp_real_bitstream_roundtrip():
     x_rec, _, _ = model.apply(variables, jnp.asarray(frames[1]),
                               jnp.asarray(frames[0]), state, training=False)
     np.testing.assert_allclose(decoded[0], np.asarray(x_rec), atol=1e-4)
+
+
+def test_mcvc_real_bitstream_roundtrip():
+    """Multi-camera real coding: masks ride as side info; '-IA' backup
+    decoders reuse the same latents for resilient reconstruction."""
+    from fvc.models.mcvc import MCVC, sample_view_mask
+    from fvc.models.bitstream_mcvc import MCVCBitstreamCodec
+
+    views = 3
+    cfg = CodecConfig.from_name("MCVC-IA", num_views=views, resilience=1)
+    model = MCVC(cfg, planes=32, mid=16)
+    rng = np.random.RandomState(6)
+    G, H, W = 2, 128, 128
+    frames = np.clip(rng.rand(G, views, H, W, 3), 0, 1).astype(np.float32)
+    mask = np.asarray(sample_view_mask(1, views, 1, force_resilience=1,
+                                       training=True,
+                                       rng=np.random.RandomState(0)),
+                      np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(frames),
+                           jnp.asarray(mask), training=False)
+
+    codec = MCVCBitstreamCodec(model, variables)
+    streams, info = codec.compress(frames, mask)
+    recons, enhanced = codec.decompress(streams, info)
+    np.testing.assert_allclose(recons, info["recons"], atol=1e-5)
+    assert enhanced.shape == (G, views, H, W, 3)
+    assert codec.num_bits(streams) > 0
