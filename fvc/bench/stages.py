@@ -19,9 +19,11 @@ import numpy as np
 
 
 def _chain_time(fn, x, iters: int = 8) -> float:
-    """Seconds per call, measured over a serialized chain."""
+    """Seconds per call, measured over a serialized chain ended by a tiny D2H
+    fetch (through the device tunnel block_until_ready alone can return before
+    the computation retires; a host fetch of a dependent scalar cannot)."""
     y = fn(x)
-    jax.block_until_ready(y)
+    _ = np.asarray(jax.tree_util.tree_leaves(y)[0]).reshape(-1)[0]
     t0 = time.perf_counter()
     cur = x
     for _ in range(iters):
@@ -29,7 +31,7 @@ def _chain_time(fn, x, iters: int = 8) -> float:
         # serialize: mix a scalar of the output back into the next input
         probe = jax.tree_util.tree_leaves(out)[0]
         cur = cur + 0.0 * jnp.mean(probe)
-    jax.block_until_ready(cur)
+    _ = np.asarray(jnp.ravel(cur)[0])
     return (time.perf_counter() - t0) / iters
 
 
