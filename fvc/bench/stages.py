@@ -23,7 +23,7 @@ def _chain_time(fn, x, iters: int = 8) -> float:
     fetch (through the device tunnel block_until_ready alone can return before
     the computation retires; a host fetch of a dependent scalar cannot)."""
     y = fn(x)
-    _ = np.asarray(jax.tree_util.tree_leaves(y)[0]).reshape(-1)[0]
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(y)[0])[0])  # 4-byte sync
     t0 = time.perf_counter()
     cur = x
     for _ in range(iters):
@@ -31,7 +31,7 @@ def _chain_time(fn, x, iters: int = 8) -> float:
         # serialize: mix a scalar of the output back into the next input
         probe = jax.tree_util.tree_leaves(out)[0]
         cur = cur + 0.0 * jnp.mean(probe)
-    _ = np.asarray(jnp.ravel(cur)[0])
+    _ = float(jnp.ravel(cur)[0])  # 4-byte sync fetch
     return (time.perf_counter() - t0) / iters
 
 

@@ -53,6 +53,32 @@ def code_gop_scan(apply_fn: Callable, params, frames, init_state, *,
     return recons, outs
 
 
+def code_gop_bidirectional(apply_fn, params, frames, init_state, *,
+                           training: bool, rng=None):
+    """RLVC's bidirectional GOP-13 window (train.py:266,321,346-357 /
+    SURVEY §5: fP=6,bP=6): the I-frame sits mid-GOP; the forward half scans
+    ahead and the backward half scans the time-reversed prefix, each with its
+    own recurrent state chain.
+
+    frames: [T, B, H, W, 3]; the I-frame is frames[T//2].
+    Returns (recons [T-1, ...] in display order, outs dict with both halves'
+    scalars concatenated in display order)."""
+    T = frames.shape[0]
+    mid = T // 2
+    fwd = frames[mid:]                      # [I, P, P, ...]
+    bwd = frames[mid::-1]                   # [I, P, P, ...] reversed prefix
+    r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+    rec_f, out_f = code_gop_scan(apply_fn, params, fwd, init_state,
+                                 training=training, rng=r1)
+    rec_b, out_b = code_gop_scan(apply_fn, params, bwd, init_state,
+                                 training=training, rng=r2)
+    # display order: reversed backward half, then forward half
+    recons = jnp.concatenate([rec_b[::-1], rec_f], axis=0)
+    outs = {k: jnp.concatenate([out_b[k][::-1], out_f[k]], axis=0)
+            for k in out_f}
+    return recons, outs
+
+
 def gop_metrics(outs) -> dict:
     """Average per-frame scalars from a scanned GOP (bpp/psnr/losses)."""
     return {k: jnp.mean(v) for k, v in outs.items()

@@ -93,3 +93,28 @@ def test_iframe_codec():
     x_hat, out = m.apply(variables, x, training=False)
     assert x_hat.shape == x.shape
     assert float(out["bpp_est"]) > 0
+
+
+def test_bidirectional_gop_window():
+    """RLVC GOP-13-style window: I-frame mid-GOP, forward + reversed-backward
+    halves, display-order outputs."""
+    from fvc.gop.engine import code_gop_bidirectional
+    from fvc.models.dvc import IterPredCodec
+
+    cfg = CodecConfig.from_name("RLVC", channels=16)
+    model = IterPredCodec(cfg)
+    T = 7  # fP = bP = 3
+    frames = _frames(T=T, H=64, W=64)
+    state = model.init_state(1, 64, 64)
+    variables = model.init(jax.random.PRNGKey(0), frames[0], frames[1], state,
+                           False, training=False)
+
+    def apply_fn(params, x_ref, x_cur, st, flag, *, training, rng):
+        return model.apply(params, x_ref, x_cur, st, flag,
+                           training=training, rng=rng)
+
+    recons, outs = code_gop_bidirectional(
+        apply_fn, variables, frames, state, training=False)
+    assert recons.shape == (T - 1, 1, 64, 64, 3)
+    assert outs["bpp_est"].shape == (T - 1,)
+    assert np.isfinite(np.asarray(outs["psnr"])).all()
