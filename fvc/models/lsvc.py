@@ -177,6 +177,10 @@ class LSVC(nn.Module):
         cfg = self.config
         bs = x.shape[0] - 1
         H, W = x.shape[1], x.shape[2]
+        if H % 64 or W % 64:
+            raise ValueError(
+                f"LSVC needs H,W divisible by 64 (16x transforms + 4x hyper), "
+                f"got {H}x{W} — pad/crop the input (eval.py pads GOP tails)")
         g, layers, parents = graph_from_batch(
             bs, linear=cfg.linear_chain, onehop=cfg.one_hop)
         ref_index = ref_index_from_graph(g, bs)

@@ -80,6 +80,10 @@ def main():
 
     results = eval_lsvc_on_gops(model, variables, gops)
     if args.real_bits:
+        if not args.codec.startswith("LSVC"):
+            raise SystemExit("--real-bits via this CLI supports LSVC; use the "
+                             "bitstream_{dvc,rlvc,ssf,elfvc,mcvc} codecs in "
+                             "fvc.models for the other families")
         from fvc.models.bitstream import LSVCBitstreamCodec
         codec = LSVCBitstreamCodec(model, variables)
         for g, r in zip(gops, results):

@@ -135,9 +135,9 @@ def test_base_codec_variants(name):
 def test_registry_builds_all_families():
     from fvc.models.registry import get_codec_model
 
-    for name in ["DVC", "RLVC", "RLVC2", "LSVC", "LSVC-L", "Base", "Base-EC",
-                 "Base-ER", "ELFVC", "ELFVC-SP", "MCVC-Original", "MCVC-IA",
-                 "MCVC-IA-OLFT", "SSF", "IFrame"]:
+    for name in ["DVC", "RLVC", "RLVC2", "DVC-pretrained", "LSVC", "LSVC-L",
+                 "Base", "Base-EC", "Base-ER", "ELFVC", "ELFVC-SP",
+                 "MCVC-Original", "MCVC-IA", "MCVC-IA-OLFT", "SSF", "IFrame"]:
         model, cfg = get_codec_model(name, num_views=2)
         assert model is not None
         assert cfg.name == name
