@@ -149,3 +149,32 @@ def test_anchor_pack_views():
     assert pack_views(frames, 1).shape == (2, 8, 24, 3)
     assert pack_views(frames, 2).shape == (2, 24, 8, 3)
     assert pack_views(frames, 3).shape == (2, 16, 16, 3)  # 2x2 grid w/ 1 pad
+
+
+def test_padding_helpers():
+    from fvc.gop.padding import (
+        crop_to, iter_gops_padded, masked_mean, pad_gop_tail, pad_to_multiple,
+    )
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(5, 100, 130, 3).astype(np.float32)
+    padded, hw = pad_to_multiple(frames, 64)
+    assert padded.shape == (5, 128, 192, 3) and hw == (100, 130)
+    np.testing.assert_allclose(crop_to(padded, hw), frames)
+    # edge padding replicates the boundary
+    np.testing.assert_allclose(padded[:, 100:, :130], 
+                               np.repeat(frames[:, 99:100], 28, axis=1))
+
+    tail, mask = pad_gop_tail(frames[:3], 8)
+    assert tail.shape[0] == 8 and mask.tolist() == [1, 1, 1, 0, 0, 0, 0, 0]
+    np.testing.assert_allclose(tail[3:], np.repeat(frames[2:3], 5, axis=0))
+
+    # masked mean over P-frame scalars (mask has the I-frame slot)
+    vals = np.array([1.0, 2.0, 100.0])
+    m = np.array([1, 1, 1, 0], np.float32)  # gop 4: I + 2 valid P + 1 pad
+    assert masked_mean(vals, m) == 1.5
+
+    clip = rng.rand(10, 32, 32, 3).astype(np.float32)
+    gops = list(iter_gops_padded(clip, 4))
+    assert len(gops) == 3  # 4 + 4 + 2(padded)
+    assert gops[-1][1].sum() == 2
