@@ -15,7 +15,6 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _chain_time(fn, x, iters: int = 8) -> float:

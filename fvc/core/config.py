@@ -9,8 +9,6 @@ Rate-control ladders come from init_training_params (models.py:68-86):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 PSNR_LAMBDAS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 MSSSIM_LAMBDAS = (8, 16, 32, 64)
 I_LEVELS = (37, 32, 27, 22, 17, 12, 7, 2, 1)

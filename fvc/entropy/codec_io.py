@@ -18,8 +18,6 @@ Table builders:
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import numpy as np
 
 from fvc.entropy.coder import RansCoder, pmf_to_quantized_cdf

@@ -12,8 +12,6 @@ coding (z latent, sigma/mu heads).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

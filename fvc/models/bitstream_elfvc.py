@@ -15,7 +15,7 @@ steps are small jitted programs; the host rANS-codes between them.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

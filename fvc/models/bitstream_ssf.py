@@ -15,7 +15,7 @@ the RLVC path but with only a z-sized transfer per stage.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ one pjit program with sharded activations replaces explicit device hops
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,7 +24,7 @@ from flax import struct
 from fvc.core.config import CodecConfig
 from fvc.models.latent_codec import CoderState, LatentCodec
 from fvc.ops.blocks import WarpNet
-from fvc.ops.math import bits_from_likelihood, psnr
+from fvc.ops.math import psnr
 from fvc.ops.spynet import SpyNet
 from fvc.ops.warp import flow_warp
 

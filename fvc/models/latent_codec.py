@@ -21,8 +21,6 @@ All recurrent state is explicit and scan-friendly.
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

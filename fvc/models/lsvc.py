@@ -20,8 +20,6 @@ CDFs for mv latent and hyper z (models.py:1216-1299).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -4,8 +4,6 @@ design wart called out in SURVEY §1)."""
 
 from __future__ import annotations
 
-from typing import Any
-
 from fvc.core.config import CodecConfig
 
 

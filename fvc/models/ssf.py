@@ -15,11 +15,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from flax import struct
 
 from fvc.entropy.hyperprior import SSFHyperprior
 from fvc.models.iframe import SSFDecoder, SSFEncoder
-from fvc.ops.math import bits_from_likelihood, psnr
+from fvc.ops.math import bits_from_likelihood
 from fvc.ops.warp import gaussian_volume, scale_space_warp
 
 

@@ -9,8 +9,6 @@ regular convolution — the idiomatic TPU formulation.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

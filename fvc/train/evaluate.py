@@ -10,9 +10,8 @@ behavior) for comparing RD curves against anchors.
 
 from __future__ import annotations
 
-import os
 import time
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp

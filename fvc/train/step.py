@@ -8,8 +8,7 @@ program over a Mesh; the batch axis shards over 'data', activations over
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
