@@ -18,19 +18,21 @@ DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
 
 def _operands(x, w):
-    """Apply the active precision policy: bf16 operands, f32 accumulate."""
+    """Apply the active precision policy: bf16 operands (f32 accumulation via
+    preferred_element_type; the accumulated result is then cast back to the
+    policy dtype so downstream activations/HBM traffic stay half-width)."""
     from fvc.core.policy import compute_dtype
 
     dt = compute_dtype()
     if dt is not None:
-        return x.astype(dt), w.astype(dt)
-    return x, w
+        return x.astype(dt), w.astype(dt), dt
+    return x, w, None
 
 
 def conv2d(x, w, b=None, *, stride: int = 1, padding="SAME"):
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
-    x, w = _operands(x, w)
+    x, w, dt = _operands(x, w)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
         dimension_numbers=DIMENSION_NUMBERS,
@@ -38,7 +40,7 @@ def conv2d(x, w, b=None, *, stride: int = 1, padding="SAME"):
     )
     if b is not None:
         y = y + b
-    return y
+    return y.astype(dt) if dt is not None else y
 
 
 def deconv2d_x2(x, w, b=None, *, kernel: int):
@@ -47,7 +49,7 @@ def deconv2d_x2(x, w, b=None, *, kernel: int):
     p = kernel // 2
     lo = kernel - 1 - p
     hi = kernel - 1 - p + 1  # output_padding = 1
-    x, w = _operands(x, w)
+    x, w, dt = _operands(x, w)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
         lhs_dilation=(2, 2), dimension_numbers=DIMENSION_NUMBERS,
@@ -55,7 +57,7 @@ def deconv2d_x2(x, w, b=None, *, kernel: int):
     )
     if b is not None:
         y = y + b
-    return y
+    return y.astype(dt) if dt is not None else y
 
 
 class Conv(nn.Module):

@@ -42,6 +42,9 @@ class GDN(nn.Module):
             from fvc.ops.pallas_kernels import gdn_pallas
             return gdn_pallas(x, gamma, beta, inverse=self.inverse)
 
-        # norm pool: [.., ch] @ [ch, ch] on the MXU
-        norm = jnp.sqrt(jnp.square(x) @ gamma + beta)
-        return x * norm if self.inverse else x / norm
+        # norm pool: [.., ch] @ [ch, ch] on the MXU. Keep the output in the
+        # input's dtype so a bf16 activation policy isn't silently promoted
+        # back to f32 by the f32 parameters.
+        norm = jnp.sqrt(jnp.square(x.astype(jnp.float32)) @ gamma + beta)
+        y = x * norm.astype(x.dtype) if self.inverse else x / norm.astype(x.dtype)
+        return y

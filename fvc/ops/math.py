@@ -102,8 +102,9 @@ def laplace_interval_likelihood(
     for |c| = |x-mu|, p = exp(-(|c|-.5)/s)*(1-exp(-1/s))/2 when |c|>=.5,
     else p = 1 - (exp(-(.5-|c|)/s)+exp(-(.5+|c|)/s))/2.
     """
-    sigma = jnp.clip(sigma, 1e-5, 1e10)
-    c = x if mu is None else x - mu
+    x = x.astype(jnp.float32)
+    sigma = jnp.clip(sigma.astype(jnp.float32), 1e-5, 1e10)
+    c = x if mu is None else x - mu.astype(jnp.float32)
     a = jnp.abs(c)
     inv_s = 1.0 / sigma
     # |c| >= 0.5 branch
@@ -120,8 +121,9 @@ def gaussian_interval_likelihood(
     """P(x - 0.5 < X <= x + 0.5) under N(mu, sigma^2), computed via the
     complementary CDF of |x-mu| for numerical stability (the standard
     survival-function trick used by learned-compression entropy models)."""
-    sigma = jnp.clip(sigma, 0.11, 1e10)
-    c = x if mu is None else x - mu
+    x = x.astype(jnp.float32)
+    sigma = jnp.clip(sigma.astype(jnp.float32), 0.11, 1e10)
+    c = x if mu is None else x - mu.astype(jnp.float32)
     a = jnp.abs(c)
     upper = _std_normal_sf((a - 0.5) / sigma)
     lower = _std_normal_sf((a + 0.5) / sigma)
@@ -139,7 +141,7 @@ def bits_from_likelihood(p: jax.Array, *, axis=None) -> jax.Array:
     models.py:517 / models.py:1235-1245 — the universal bpp estimator. Keeping
     the +1e-5 and the [0, 50] clamp exactly preserves RD-curve comparability.
     """
-    bits = jnp.clip(-jnp.log(p + 1e-5) / LOG2, 0.0, 50.0)
+    bits = jnp.clip(-jnp.log(p.astype(jnp.float32) + 1e-5) / LOG2, 0.0, 50.0)
     return jnp.sum(bits, axis=axis)
 
 
@@ -159,7 +161,7 @@ def mse(a: jax.Array, b: jax.Array) -> jax.Array:
 
 def psnr(raw: jax.Array, com: jax.Array, *, axis=None) -> jax.Array:
     """10*log10(1/mse) on [0,1] images (models.py:460-467)."""
-    err = jnp.mean(jnp.square(raw - com), axis=axis)
+    err = jnp.mean(jnp.square((raw - com).astype(jnp.float32)), axis=axis)
     return 10.0 * jnp.log(1.0 / jnp.maximum(err, 1e-12)) / math.log(10.0)
 
 

@@ -59,8 +59,15 @@ def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     """Backward-warp `img` [B,H,W,C] by `flow` [B,H,W,2] (pixels, (u=x, v=y)).
 
     Matches torch_warp / F.grid_sample(bilinear, border, align_corners=False)
-    at models.py:730-747.
+    at models.py:730-747. Under the bf16 activation policy the gathered image
+    rides half-width (halves the gather's HBM traffic); coordinates stay f32.
     """
+    from fvc.core.policy import compute_dtype
+
+    dt = compute_dtype()
+    if dt is not None and img.dtype != dt:
+        img = img.astype(dt)
+    flow = flow.astype(jnp.float32)
     _, H, W, _ = img.shape
     j = jnp.arange(W, dtype=flow.dtype)[None, None, :]
     i = jnp.arange(H, dtype=flow.dtype)[None, :, None]
