@@ -18,9 +18,11 @@ DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
 
 
 def _operands(x, w):
-    """Apply the active precision policy: bf16 operands (f32 accumulation via
-    preferred_element_type; the accumulated result is then cast back to the
-    policy dtype so downstream activations/HBM traffic stay half-width)."""
+    """Apply the active precision policy: bf16 operands and bf16-native output
+    (the TPU MXU accumulates bf16 contractions in f32 internally, so this is
+    the standard mixed-precision recipe; forcing preferred_element_type=f32
+    instead breaks the conv transpose rule under autodiff with mixed dtypes).
+    Without a policy, convs run f32 with explicit f32 accumulation."""
     from fvc.core.policy import compute_dtype
 
     dt = compute_dtype()
@@ -36,11 +38,11 @@ def conv2d(x, w, b=None, *, stride: int = 1, padding="SAME"):
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride), padding=padding,
         dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dt if dt is not None else jnp.float32,
     )
     if b is not None:
-        y = y + b
-    return y.astype(dt) if dt is not None else y
+        y = y + (b.astype(dt) if dt is not None else b)
+    return y
 
 
 def deconv2d_x2(x, w, b=None, *, kernel: int):
@@ -53,11 +55,11 @@ def deconv2d_x2(x, w, b=None, *, kernel: int):
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=((lo, hi), (lo, hi)),
         lhs_dilation=(2, 2), dimension_numbers=DIMENSION_NUMBERS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dt if dt is not None else jnp.float32,
     )
     if b is not None:
-        y = y + b
-    return y.astype(dt) if dt is not None else y
+        y = y + (b.astype(dt) if dt is not None else b)
+    return y
 
 
 class Conv(nn.Module):

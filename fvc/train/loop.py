@@ -30,7 +30,7 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
                       gop: int = 5, learning_rate: float = 1e-4,
                       ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
                       log_every: int = 10, seed: int = 0,
-                      mesh=None):
+                      mesh=None, bf16: bool = False):
     """Generic RD training over GOP clips. Returns (params, history).
     Model must be an LSVC-style module: apply(params, x[T,H,W,3], training, rng)
     -> (recon, out with rec_loss/bpp_est). IterPred models train through
@@ -46,7 +46,7 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
     optimizer = make_optimizer(learning_rate, clip_norm=1.0)
     opt_state = optimizer.init(variables)
 
-    loss_fn = lsvc_loss_fn(model, cfg)
+    loss_fn = lsvc_loss_fn(model, cfg, bf16=bf16)
     step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, donate=False)
 
     history = []

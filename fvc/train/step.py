@@ -33,14 +33,22 @@ def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.0,
     return optax.chain(*tx)
 
 
-def lsvc_loss_fn(model, cfg: CodecConfig):
+def lsvc_loss_fn(model, cfg: CodecConfig, *, bf16: bool = False):
     """Rate-distortion loss for a batch of GOPs: frames [B, T, H, W, 3]
     (T = GOP+1 incl. the reconstructed I-frame). Stage weighting follows
-    init_training_params defaults (r_img = r_bpp = 1, stage REC)."""
+    init_training_params defaults (r_img = r_bpp = 1, stage REC).
+
+    bf16=True runs the transform stacks under the bf16 activation policy
+    (entropy/metric math stays f32 — fvc.core.policy); the TPU analogue of the
+    reference's AMP training, no loss scaling needed."""
 
     def loss_fn(params, frames, rng):
+        from fvc.core.policy import bf16_compute, compute_in
+
         def per_gop(x, r):
-            _, out = model.apply(params, x, training=True, rng=r)
+            ctx = bf16_compute() if bf16 else compute_in(None)
+            with ctx:
+                _, out = model.apply(params, x, training=True, rng=r)
             return (cfg.rate_lambda * out["rec_loss"] + out["bpp_est"], out)
 
         rngs = jax.random.split(rng, frames.shape[0])

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--ckpt-every", type=int, default=5000)
+    ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--mesh-data", type=int, default=0)
     ap.add_argument("--mesh-spatial", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
@@ -62,7 +63,8 @@ def main():
         params, history = train_single_view(
             model, cfg, ds, steps=args.steps, batch_size=args.batch,
             gop=args.gop, learning_rate=args.lr, ckpt_dir=args.ckpt,
-            ckpt_every=args.ckpt_every, seed=args.seed, mesh=mesh)
+            ckpt_every=args.ckpt_every, seed=args.seed, mesh=mesh,
+            bf16=args.bf16)
     if args.ckpt:
         from fvc.train.checkpoint import save_checkpoint
         save_checkpoint(args.ckpt, args.steps, {"params": params}, best=True)
