@@ -77,3 +77,17 @@ def test_multihost_helpers_single_process():
     assert cover == list(range(10))
     out = allgather_metrics([1.0, 2.0])
     np.testing.assert_allclose(out, [1.0, 2.0])
+
+
+def test_scaling_efficiency_harness():
+    """Weak-scaling measurement on the virtual CPU mesh: the harness runs and
+    reports efficiency; virtual-device numbers measure SPMD orchestration (the
+    identical program scales over real ICI in production)."""
+    from fvc.bench.scaling import measure_scaling
+
+    results = measure_scaling([1, 2, 4], gop=2, height=64, width=64, iters=2)
+    assert set(results) == {1, 2, 4}
+    for n, r in results.items():
+        assert r["sec_per_step"] > 0
+        assert np.isfinite(r["efficiency"])
+    assert abs(results[1]["efficiency"] - 1.0) < 1e-6
