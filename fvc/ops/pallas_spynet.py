@@ -1,0 +1,124 @@
+"""Fused MEBasic kernel — one SpyNet pyramid level's 5-conv (7x7) stack as a
+single Pallas program.
+
+Why: SpyNet is ~39% of LSVC encode time (fvc.bench.stages); its tiny-channel
+(8->32->64->32->16->2) full-resolution convs are HBM-bandwidth-bound when run
+as 5 separate XLA convs (each intermediate makes an HBM round trip:
+B*H*W*64ch*4B per layer at full res). This kernel keeps every intermediate in
+VMEM: the grid tiles over rows; each step loads one input tile with a 15-row /
+15-column halo (5 layers x kernel-3 halo each) and runs all five convolutions
+in-register, writing only the 2-channel flow delta back to HBM.
+
+Convolution-in-Pallas strategy: per layer, accumulate over the 7 kernel rows;
+each row term is an im2col-over-columns matmul
+    [rows*W, 7*Cin] @ [7*Cin, Cout]
+so the MXU sees contraction depths 56..448 instead of 8..64.
+
+The XLA path (fvc.ops.spynet.MEBasic) remains the default and the autodiff
+path; this kernel is the inference fast path (enable via
+`fused_mebasic(...)`), numerics-checked against it in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K = 7
+PAD = K // 2          # per-layer halo
+LAYERS = 5
+HALO = PAD * LAYERS   # total halo: 15 rows/cols each side
+CHANNELS = (8, 32, 64, 32, 16, 2)
+
+
+def _conv7_rows(x, w, rows_out, width_out):
+    """x: [rows_in, cols_in, Cin] (rows_in = rows_out+6, cols_in = width_out+6)
+    w: [7, 7, Cin, Cout]. Valid conv -> [rows_out, width_out, Cout].
+    Accumulates over kernel rows; columns fold into the contraction."""
+    cin = x.shape[-1]
+    cout = w.shape[-1]
+    acc = jnp.zeros((rows_out * width_out, cout), jnp.float32)
+    for ki in range(K):
+        # im2col over the 7 column taps: [rows_out, width_out, 7*Cin]
+        row_slab = jax.lax.dynamic_slice_in_dim(x, ki, rows_out, axis=0)
+        cols = [jax.lax.dynamic_slice_in_dim(row_slab, kj, width_out, axis=1)
+                for kj in range(K)]
+        patch = jnp.concatenate(cols, axis=-1).reshape(rows_out * width_out,
+                                                       K * cin)
+        wk = w[ki].transpose(0, 1, 2).reshape(K * cin, cout)
+        acc = acc + jnp.dot(patch, wk, preferred_element_type=jnp.float32)
+    return acc.reshape(rows_out, width_out, cout)
+
+
+def _mebasic_kernel(x_hbm, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, o_ref,
+                    *, block_rows: int, width: int):
+    """x_hbm: full padded input resident in HBM/ANY; each grid step DMAs its
+    overlapping (block_rows + 2*HALO)-row tile into VMEM scratch (BlockSpecs
+    cannot express overlapping windows)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    rows_in = block_rows + 2 * HALO
+
+    def body(tile, sem):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * block_rows, rows_in)], tile, sem)
+        dma.start()
+        dma.wait()
+        x = tile[:]
+        h = _conv7_rows(x, w1[:], rows_in - 2 * PAD, width + 2 * HALO - 2 * PAD)
+        h = jax.nn.relu(h + b1[:])
+        h = _conv7_rows(h, w2[:], rows_in - 4 * PAD, width + 2 * HALO - 4 * PAD)
+        h = jax.nn.relu(h + b2[:])
+        h = _conv7_rows(h, w3[:], rows_in - 6 * PAD, width + 2 * HALO - 6 * PAD)
+        h = jax.nn.relu(h + b3[:])
+        h = _conv7_rows(h, w4[:], rows_in - 8 * PAD, width + 2 * HALO - 8 * PAD)
+        h = jax.nn.relu(h + b4[:])
+        h = _conv7_rows(h, w5[:], block_rows, width)
+        o_ref[0] = h + b5[:]
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((rows_in, width + 2 * HALO, CHANNELS[0]), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    )
+
+
+def fused_mebasic(x, params, *, block_rows: int = 64):
+    """x: [B, H, W, 8]; params: MEBasic param pytree
+    ({'Conv_0': {'kernel','bias'}, ...}). Returns [B, H, W, 2].
+    SAME padding applied once up front (edge zeros like the XLA path)."""
+    B, H, W, C = x.shape
+    assert C == CHANNELS[0], x.shape
+    n_blocks = -(-H // block_rows)
+    pad_h = n_blocks * block_rows - H
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO + pad_h), (HALO, HALO), (0, 0)))
+    xp = xp.astype(jnp.float32)
+
+    ws = []
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+    for i in range(LAYERS):
+        cin, cout = CHANNELS[i], CHANNELS[i + 1]
+        ws.append(params[f"Conv_{i}"]["kernel"].astype(jnp.float32))
+        ws.append(params[f"Conv_{i}"]["bias"].astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((K, K, cin, cout),
+                                     lambda b, i: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((cout,), lambda b, i: (0,),
+                                     memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        functools.partial(_mebasic_kernel, block_rows=block_rows, width=W),
+        grid=(B, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_rows, W, CHANNELS[-1]),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_blocks * block_rows, W, CHANNELS[-1]), jnp.float32),
+    )(xp, *ws)
+    return out[:, :H]

@@ -46,3 +46,27 @@ def test_rate_bits_pallas_matches_reference_math():
     with pltpu.force_tpu_interpret_mode():
         out = rate_bits_pallas(x, sigma, block=64)
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-4)
+
+
+def test_fused_mebasic_matches_xla_interior():
+    """Fused 5-conv SpyNet level: interior numerics exact vs the XLA path.
+    Borders differ by design (valid-conv over one padded input vs per-layer
+    zero re-padding) within a 15px frame — documented in pallas_spynet."""
+    import flax
+    from jax.experimental.pallas import tpu as pltpu
+    from fvc.ops.spynet import MEBasic
+    from fvc.ops.pallas_spynet import fused_mebasic
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 48, 40, 8).astype(np.float32))
+    m = MEBasic()
+    variables = m.init(jax.random.PRNGKey(0), x)
+    p = flax.core.unfreeze(variables)["params"]
+    p["Conv_4"]["kernel"] = jnp.asarray(
+        rng.randn(7, 7, 16, 2).astype(np.float32) * 0.05)
+    ref = m.apply({"params": p}, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mebasic(x, p, block_rows=16)
+    assert out.shape == ref.shape
+    err = np.abs(np.asarray(out - ref))
+    assert err[:, 15:-15, 15:-15].max() < 1e-5
