@@ -17,6 +17,12 @@ so the MXU sees contraction depths 56..448 instead of 8..64.
 The XLA path (fvc.ops.spynet.MEBasic) remains the default and the autodiff
 path; this kernel is the inference fast path (enable via
 `fused_mebasic(...)`), numerics-checked against it in tests.
+
+STATUS: interpret-mode validated (interior exact to 6e-7 vs XLA;
+tests/test_pallas.py). This container's remote Mosaic compile helper crashes /
+hangs on the 245-matmul unrolled program (HTTP 500 from tpu_compile_helper),
+so on-hardware validation is deferred to an environment with a standard
+toolchain; treat as experimental until then.
 """
 
 from __future__ import annotations
@@ -44,14 +50,15 @@ def _conv7_rows(x, w, rows_out, width_out):
     cout = w.shape[-1]
     acc = jnp.zeros((rows_out * width_out, cout), jnp.float32)
     for ki in range(K):
-        # im2col over the 7 column taps: [rows_out, width_out, 7*Cin]
-        row_slab = jax.lax.dynamic_slice_in_dim(x, ki, rows_out, axis=0)
-        cols = [jax.lax.dynamic_slice_in_dim(row_slab, kj, width_out, axis=1)
-                for kj in range(K)]
-        patch = jnp.concatenate(cols, axis=-1).reshape(rows_out * width_out,
-                                                       K * cin)
-        wk = w[ki].transpose(0, 1, 2).reshape(K * cin, cout)
-        acc = acc + jnp.dot(patch, wk, preferred_element_type=jnp.float32)
+        # accumulate the 49 taps as [rows*W, Cin] @ [Cin, Cout] matmuls:
+        # materializing a 7x-im2col patch would exceed VMEM at full width.
+        # static slices only — dynamic_slice has no Pallas TC lowering.
+        row_slab = x[ki:ki + rows_out]
+        for kj in range(K):
+            tap = row_slab[:, kj:kj + width_out].reshape(
+                rows_out * width_out, cin)
+            acc = acc + jnp.dot(tap, w[ki, kj],
+                                preferred_element_type=jnp.float32)
     return acc.reshape(rows_out, width_out, cout)
 
 
@@ -88,7 +95,7 @@ def _mebasic_kernel(x_hbm, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, o_ref,
     )
 
 
-def fused_mebasic(x, params, *, block_rows: int = 64):
+def fused_mebasic(x, params, *, block_rows: int = 16):
     """x: [B, H, W, 8]; params: MEBasic param pytree
     ({'Conv_0': {'kernel','bias'}, ...}). Returns [B, H, W, 2].
     SAME padding applied once up front (edge zeros like the XLA path)."""
