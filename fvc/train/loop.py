@@ -43,7 +43,7 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
     frames0 = jnp.asarray(sample[None])
     variables = model.init(jax.random.PRNGKey(seed), frames0[0],
                            training=True, rng=jax.random.PRNGKey(seed + 1))
-    optimizer = make_optimizer(learning_rate, clip_norm=1.0)
+    optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = optimizer.init(variables)
 
     loss_fn = lsvc_loss_fn(model, cfg, bf16=bf16)
@@ -81,7 +81,7 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
     variables = model.init(
         jax.random.PRNGKey(seed), sample[0][None], sample[1][None], state0,
         False, training=True, rng=jax.random.PRNGKey(seed + 1))
-    optimizer = make_optimizer(learning_rate, clip_norm=1.0)
+    optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = optimizer.init(variables)
 
     def apply_fn(params, x_ref, x_cur, st, flag, *, training, rng):
@@ -183,7 +183,7 @@ def pretrain_multiview(model, cfg: CodecConfig, dataset, *,
     mask0 = jnp.ones((V,), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), frames0, mask0,
                            training=True, rng=jax.random.PRNGKey(seed + 1))
-    optimizer = make_optimizer(learning_rate, clip_norm=1.0)
+    optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = optimizer.init(variables)
 
     @jax.jit
