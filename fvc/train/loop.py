@@ -30,7 +30,7 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
                       gop: int = 5, learning_rate: float = 1e-4,
                       ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
                       log_every: int = 10, seed: int = 0,
-                      mesh=None, bf16: bool = False):
+                      mesh=None, bf16: bool = False, init_params=None):
     """Generic RD training over GOP clips. Returns (params, history).
     Model must be an LSVC-style module: apply(params, x[T,H,W,3], training, rng)
     -> (recon, out with rec_loss/bpp_est). IterPred models train through
@@ -41,8 +41,9 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
     rng = np.random.RandomState(seed)
     sample = dataset[0][: gop + 1]
     frames0 = jnp.asarray(sample[None])
-    variables = model.init(jax.random.PRNGKey(seed), frames0[0],
-                           training=True, rng=jax.random.PRNGKey(seed + 1))
+    variables = init_params if init_params is not None else model.init(
+        jax.random.PRNGKey(seed), frames0[0],
+        training=True, rng=jax.random.PRNGKey(seed + 1))
     optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = optimizer.init(variables)
 

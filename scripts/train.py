@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--ckpt-every", type=int, default=5000)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to restore params from before training")
     ap.add_argument("--mesh-data", type=int, default=0)
     ap.add_argument("--mesh-spatial", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
@@ -55,6 +57,19 @@ def main():
 
     print(f"training {args.codec} level={cfg.compression_level} "
           f"steps={args.steps} gop={args.gop}", flush=True)
+    resume_params = None
+    if args.resume:
+        from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
+        path = latest_checkpoint(args.resume)
+        if path:
+            import jax as _jax
+            from fvc.data.datasets import SyntheticVideoDataset as _S
+            probe = _S(1, frames=args.gop + 1, height=args.crop, width=args.crop)[0]
+            import jax.numpy as _jnp
+            ref = model.init(_jax.random.PRNGKey(0), _jnp.asarray(probe),
+                             training=False)
+            resume_params = restore_checkpoint(path, {"params": ref})["params"]
+            print(f"resumed from {path}", flush=True)
     if args.codec in ("DVC", "RLVC", "RLVC2"):
         params, history = train_iterpred(
             model, cfg, ds, steps=args.steps, gop=args.gop,
@@ -64,7 +79,7 @@ def main():
             model, cfg, ds, steps=args.steps, batch_size=args.batch,
             gop=args.gop, learning_rate=args.lr, ckpt_dir=args.ckpt,
             ckpt_every=args.ckpt_every, seed=args.seed, mesh=mesh,
-            bf16=args.bf16)
+            bf16=args.bf16, init_params=resume_params)
     if args.ckpt:
         from fvc.train.checkpoint import save_checkpoint
         save_checkpoint(args.ckpt, args.steps, {"params": params}, best=True)
