@@ -42,3 +42,23 @@ def test_tiled_warp_single_shard_fallback():
     out = flow_warp_tiled(img, flow, mesh=mesh, halo=8)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(flow_warp(img, flow)), atol=1e-6)
+
+
+def test_tiled_warp_differentiable():
+    """SP training needs gradients through the halo-exchange warp."""
+    from fvc.dist.mesh import make_mesh
+    from fvc.dist.tiled_warp import flow_warp_tiled
+
+    mesh = make_mesh(n_data=1, n_spatial=2, devices=jax.devices()[:2])
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.rand(1, 32, 16, 3).astype(np.float32))
+    flow = jnp.asarray((rng.rand(1, 32, 16, 2).astype(np.float32) - 0.5) * 4)
+
+    def loss(flow):
+        out = flow_warp_tiled(img, flow, mesh=mesh, halo=4)
+        return jnp.sum(jnp.square(out))
+
+    g = jax.grad(loss)(flow)
+    assert g.shape == flow.shape
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
