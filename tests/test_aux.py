@@ -178,3 +178,16 @@ def test_padding_helpers():
     gops = list(iter_gops_padded(clip, 4))
     assert len(gops) == 3  # 4 + 4 + 2(padded)
     assert gops[-1][1].sum() == 2
+
+
+def test_flow_to_image():
+    from fvc.utils.flow_vis import flow_to_image
+
+    flow = np.zeros((8, 8, 2), np.float32)
+    img = flow_to_image(flow)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+    assert (img == 255).all()  # zero flow -> white
+    flow[..., 0] = 5.0
+    a = flow_to_image(flow)
+    b = flow_to_image(-flow)
+    assert (a != b).any()  # direction changes hue
