@@ -36,7 +36,8 @@ def flow_warp_tiled(img: jax.Array, flow: jax.Array, *, mesh: Mesh,
     if n_shards == 1:
         from fvc.ops.warp import flow_warp
         return flow_warp(img, jnp.concatenate(
-            [flow[..., :1], jnp.clip(flow[..., 1:2], -halo, halo)], axis=-1))
+            [flow[..., :1], jnp.clip(flow[..., 1:2], -halo, halo)], axis=-1),
+            method="gather")
 
     H = img.shape[1]
     assert H % n_shards == 0, (H, n_shards)

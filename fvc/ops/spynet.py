@@ -28,17 +28,29 @@ from fvc.ops.warp import flow_warp
 
 
 class MEBasic(nn.Module):
-    """8 -> 32 -> 64 -> 32 -> 16 -> 2, all 7x7 stride 1."""
+    """8 -> 32 -> 64 -> 32 -> 16 -> 2, all 7x7 stride 1.
+
+    When H and W are even the whole stack runs space_to_depth(2)-packed
+    (32 -> 128 -> 256 -> 128 -> 64 -> 8 channels at half resolution) — an
+    exact transform that keeps the tiny-channel 7x7 convs on the MXU's fast
+    path (fvc.ops.conv.pack_s2d_weights); parameters stay canonical."""
 
     @nn.compact
     def __call__(self, x):
-        x = jax.nn.relu(Conv(32, kernel=7)(x))
-        x = jax.nn.relu(Conv(64, kernel=7)(x))
-        x = jax.nn.relu(Conv(32, kernel=7)(x))
-        x = jax.nn.relu(Conv(16, kernel=7)(x))
+        from fvc.ops.conv import depth_to_space, space_to_depth
+
+        packed = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        r = 2 if packed else 1
+        if packed:
+            x = space_to_depth(x, 2)
+        x = jax.nn.relu(Conv(32, kernel=7, s2d=r)(x))
+        x = jax.nn.relu(Conv(64, kernel=7, s2d=r)(x))
+        x = jax.nn.relu(Conv(32, kernel=7, s2d=r)(x))
+        x = jax.nn.relu(Conv(16, kernel=7, s2d=r)(x))
         # zero-init: each pyramid level starts as "keep the upsampled coarse
         # flow" (see Conv.zero_init); pretrained .npy weights override this
-        return Conv(2, kernel=7, zero_init=True)(x)
+        x = Conv(2, kernel=7, zero_init=True, s2d=r)(x)
+        return depth_to_space(x, 2) if packed else x
 
 
 class SpyNet(nn.Module):

@@ -1,16 +1,32 @@
 """Backward warping (grid_sample-equivalent) and scale-space warping.
 
-`flow_warp` reproduces the reference's torch_warp (models.py:730-747) bit-close:
-a normalized [-1,1] base grid plus flow/((S-1)/2), sampled by
-F.grid_sample(mode='bilinear', padding_mode='border', align_corners=False).
-Folding the normalization through grid_sample's unnormalize step, the effective
-source pixel for output (i, j) with flow (u, v) in pixels is
+Two implementations of `flow_warp`, selectable with `set_warp_method`:
 
-    px = (j + u) * W/(W-1) - 0.5,   py = (i + v) * H/(H-1) - 0.5
+- "gather" reproduces the reference's torch_warp (models.py:730-747) bit-close:
+  a normalized [-1,1] base grid plus flow/((S-1)/2), sampled by
+  F.grid_sample(mode='bilinear', padding_mode='border', align_corners=False).
+  Folding the normalization through grid_sample's unnormalize step, the
+  effective source pixel for output (i, j) with flow (u, v) in pixels is
 
-clamped to the image (border padding), then bilinearly interpolated. We compute
-that directly in pixel space — one fused gather, no normalized-coordinate
-round-trip.
+      px = (j + u) * W/(W-1) - 0.5,   py = (i + v) * H/(H-1) - 0.5
+
+  clamped to the image (border padding), then bilinearly interpolated. XLA
+  lowers the per-pixel gather poorly on TPU (~440 ms for six 1080p frames —
+  measured 30x slower than the window method), so this path is kept for
+  golden-parity testing and CPU use.
+
+- "window" (default — the framework's warp definition): a two-pass separable
+  shift-and-select decomposition that never materializes a gather. Pass 1
+  selects, per pixel, the source *row pair* from a ±radius vertical window
+  (edge-padded, matching border clamping) and lerps them; pass 2 does the same
+  horizontally on the result. All ops are shifts/compares/fmas that XLA fuses
+  into two streaming kernels (~13 ms for six 1080p frames at radius 6, bf16).
+  Semantics differ from grid_sample in two documented ways: (a) displacements
+  beyond `radius` pixels clamp to the window edge, and (b) the vertical sample
+  position is the one computed at the *gathered* column (exact for locally
+  translational flow; for smooth codec flow fields the divergence is tiny —
+  see tests/test_ops_parity.py). Both passes are differentiable, so training
+  and coding use one consistent warp.
 
 `scale_space_warp` implements the SSF trilinear lookup (compressai ssf2020
 semantics used by ELFVC/MCVC, models.py:1866+): a Gaussian scale-space volume
@@ -55,12 +71,90 @@ def _bilinear_gather(img: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
     return top + (bot - top) * wy
 
 
-def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
+_WARP_METHOD = "window"
+_WARP_RADIUS = 16
+
+
+def set_warp_method(method: str, radius: int = 16) -> None:
+    """Set the process-wide flow_warp implementation: "window" (TPU-fast,
+    default) or "gather" (bit-exact grid_sample parity)."""
+    global _WARP_METHOD, _WARP_RADIUS
+    assert method in ("window", "gather"), method
+    _WARP_METHOD = method
+    _WARP_RADIUS = radius
+
+
+class warp_method:
+    """Context manager scoping a flow_warp implementation choice."""
+
+    def __init__(self, method: str, radius: int = 16):
+        self.method, self.radius = method, radius
+
+    def __enter__(self):
+        self.saved = (_WARP_METHOD, _WARP_RADIUS)
+        set_warp_method(self.method, self.radius)
+
+    def __exit__(self, *exc):
+        set_warp_method(*self.saved)
+
+
+def _source_coords(H: int, W: int, flow: jax.Array):
+    """Float source-pixel coordinates of grid_sample(align_corners=False),
+    border-clamped."""
+    j = jnp.arange(W, dtype=flow.dtype)[None, None, :]
+    i = jnp.arange(H, dtype=flow.dtype)[None, :, None]
+    px = (j + flow[..., 0]) * (W / (W - 1.0)) - 0.5
+    py = (i + flow[..., 1]) * (H / (H - 1.0)) - 0.5
+    return jnp.clip(px, 0.0, W - 1.0), jnp.clip(py, 0.0, H - 1.0)
+
+
+def _warp_window(img: jax.Array, flow: jax.Array, radius: int) -> jax.Array:
+    """Two-pass shift-and-select warp (see module docstring)."""
+    R = radius
+    B, H, W, C = img.shape
+    px, py = _source_coords(H, W, flow)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = (px - x0)[..., None]
+    wy = (py - y0)[..., None]
+    j = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    i = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    dy = jnp.clip(y0.astype(jnp.int32) - i, -R, R)[..., None]
+    dx = jnp.clip(x0.astype(jnp.int32) - j, -R, R)[..., None]
+
+    # vertical pass: V0[i,j] = img[i+dy, j], V1 = img[i+dy+1, j]
+    pad = jnp.pad(img, ((0, 0), (R, R + 1), (0, 0), (0, 0)), mode="edge")
+    v0 = pad[:, R:R + H]
+    v1 = pad[:, R + 1:R + 1 + H]
+    for d in range(-R, R + 1):
+        if d == 0:
+            continue
+        m = dy == d
+        v0 = jnp.where(m, pad[:, R + d:R + d + H], v0)
+        v1 = jnp.where(m, pad[:, R + d + 1:R + d + 1 + H], v1)
+    vy = (v0 + (v1 - v0) * wy).astype(img.dtype)
+
+    # horizontal pass on the vertically-lerped field
+    padh = jnp.pad(vy, ((0, 0), (0, 0), (R, R + 1), (0, 0)), mode="edge")
+    h0 = padh[:, :, R:R + W]
+    h1 = padh[:, :, R + 1:R + 1 + W]
+    for d in range(-R, R + 1):
+        if d == 0:
+            continue
+        m = dx == d
+        h0 = jnp.where(m, padh[:, :, R + d:R + d + W], h0)
+        h1 = jnp.where(m, padh[:, :, R + d + 1:R + d + 1 + W], h1)
+    return h0 + (h1 - h0) * wx
+
+
+def flow_warp(img: jax.Array, flow: jax.Array, *, method: str | None = None,
+              radius: int | None = None) -> jax.Array:
     """Backward-warp `img` [B,H,W,C] by `flow` [B,H,W,2] (pixels, (u=x, v=y)).
 
-    Matches torch_warp / F.grid_sample(bilinear, border, align_corners=False)
-    at models.py:730-747. Under the bf16 activation policy the gathered image
-    rides half-width (halves the gather's HBM traffic); coordinates stay f32.
+    Reference semantics: torch_warp / F.grid_sample(bilinear, border,
+    align_corners=False) at models.py:730-747; see module docstring for the
+    two implementations. Under the bf16 activation policy the warped image
+    rides half-width (halves the pass's HBM traffic); coordinates stay f32.
     """
     from fvc.core.policy import compute_dtype
 
@@ -68,14 +162,11 @@ def flow_warp(img: jax.Array, flow: jax.Array) -> jax.Array:
     if dt is not None and img.dtype != dt:
         img = img.astype(dt)
     flow = flow.astype(jnp.float32)
+    method = method or _WARP_METHOD
+    if method == "window":
+        return _warp_window(img, flow, _WARP_RADIUS if radius is None else radius)
     _, H, W, _ = img.shape
-    j = jnp.arange(W, dtype=flow.dtype)[None, None, :]
-    i = jnp.arange(H, dtype=flow.dtype)[None, :, None]
-    u = flow[..., 0]
-    v = flow[..., 1]
-    # grid_sample(align_corners=False) unnormalization folded into pixel space
-    px = (j + u) * (W / (W - 1.0)) - 0.5
-    py = (i + v) * (H / (H - 1.0)) - 0.5
+    px, py = _source_coords(H, W, flow)
     return _bilinear_gather(img, py, px)
 
 

@@ -26,7 +26,8 @@ def test_flow_warp_matches_grid_sample():
     img = _rand((B, H, W, C), 1)
     flow = (_rand((B, H, W, 2), 2) - 0.5) * 6.0
 
-    out = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow)))
+    out = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow),
+                               method="gather"))
 
     # torch grid_sample with the reference's normalization (models.py:730-747)
     t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
@@ -49,7 +50,8 @@ def test_flow_warp_zero_flow_matches_torch():
 
     B, H, W = 1, 32, 32
     img = _rand((B, H, W, 3), 3)
-    out = np.asarray(flow_warp(jnp.asarray(img), jnp.zeros((B, H, W, 2))))
+    out = np.asarray(flow_warp(jnp.asarray(img), jnp.zeros((B, H, W, 2)),
+                               method="gather"))
     t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
     gx = torch.linspace(-1, 1, W).view(1, 1, 1, W).expand(B, 1, H, W)
     gy = torch.linspace(-1, 1, H).view(1, 1, H, 1).expand(B, 1, H, W)
@@ -236,3 +238,105 @@ def test_deconv_matches_torch_conv_transpose():
     tw = torch.from_numpy(w).permute(2, 3, 0, 1).flip(-1, -2)
     ref = F.conv_transpose2d(tx, tw, stride=2, padding=k // 2, output_padding=1)
     np.testing.assert_allclose(out, ref.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+def test_window_warp_matches_gather_for_translational_flow():
+    """The TPU-fast windowed warp is exact (vs grid_sample) whenever the flow
+    is locally translational and within the window radius."""
+    from fvc.ops import flow_warp
+
+    B, H, W, C = 2, 40, 56, 3
+    img = jnp.asarray(_rand((B, H, W, C), 7))
+    for (u, v) in [(0.0, 0.0), (2.25, -1.5), (-5.9, 3.1)]:
+        flow = jnp.broadcast_to(jnp.asarray([u, v], jnp.float32), (B, H, W, 2))
+        got = np.asarray(flow_warp(img, flow, method="window", radius=8))
+        want = np.asarray(flow_warp(img, flow, method="gather"))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_window_warp_close_for_smooth_flow():
+    """For smooth (codec-like) flow over natural (spatially-correlated)
+    content the separable approximation stays within ~38 dB of grid_sample;
+    its only error term is the vertical coordinate being evaluated at the
+    gathered column, which vanishes as flow or image smoothness grows."""
+    from fvc.ops import flow_warp
+
+    B, H, W = 1, 64, 64
+    # smooth image: blurred noise (white noise makes ANY subpixel resampling
+    # difference O(1) and is not representative of frames)
+    img = _rand((B, H, W, 3), 8)
+    k = np.ones(5, np.float32) / 5
+    for ax in (1, 2):
+        img = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, img)
+    img = jnp.asarray(img)
+    # smooth low-frequency flow field, |flow| < 4
+    i = np.arange(H)[:, None] / H
+    j = np.arange(W)[None, :] / W
+    u = 3.0 * np.sin(2 * np.pi * i) * np.cos(2 * np.pi * j)
+    v = 2.0 * np.cos(2 * np.pi * (i + j))
+    flow = jnp.asarray(
+        np.stack([u, v], -1)[None].astype(np.float32)).repeat(B, 0)
+    got = np.asarray(flow_warp(img, flow, method="window", radius=8))
+    want = np.asarray(flow_warp(img, flow, method="gather"))
+    psnr = -10 * np.log10(np.mean((got - want) ** 2) + 1e-12)
+    assert psnr > 35.0, psnr
+    assert np.mean(np.abs(got - want)) < 6e-3
+
+
+def test_window_warp_differentiable_and_bounded():
+    from fvc.ops import flow_warp
+
+    img = jnp.asarray(_rand((1, 24, 24, 3), 9))
+    flow = jnp.asarray((_rand((1, 24, 24, 2), 10) - 0.5) * 60)  # beyond radius
+
+    def loss(flow):
+        return jnp.sum(jnp.square(flow_warp(img, flow, method="window",
+                                            radius=4)))
+
+    out = flow_warp(img, flow, method="window", radius=4)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.max(out)) <= 1.0 + 1e-5
+    g = jax.grad(loss)(flow)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_s2d_packed_conv_exact():
+    """space_to_depth-packed convolution (the MXU-utilization transform used
+    by MEBasic) is exactly equivalent to the canonical stride-1 conv."""
+    from fvc.ops.conv import (conv2d, depth_to_space, pack_s2d_weights,
+                              space_to_depth)
+
+    rng = np.random.RandomState(0)
+    for (k, r, cin, cout, H, W) in [(7, 2, 8, 32, 16, 20), (7, 2, 16, 2, 32, 12),
+                                    (3, 2, 6, 64, 16, 16), (7, 4, 16, 2, 32, 24)]:
+        x = jnp.asarray(rng.randn(2, H, W, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, cin, cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        ref = conv2d(x, w, b, stride=1, padding=k // 2)
+        wp, pad = pack_s2d_weights(w, r)
+        got = depth_to_space(
+            conv2d(space_to_depth(x, r), wp, jnp.tile(b, r * r),
+                   stride=1, padding=(pad, pad)), r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+    # roundtrip
+    x = jnp.asarray(rng.randn(1, 8, 8, 5).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x, 2), 2)), np.asarray(x))
+
+
+def test_mebasic_packed_matches_unpacked():
+    """MEBasic auto-packs on even shapes; odd shapes fall back. Same params
+    must give the same function."""
+    from fvc.ops.spynet import MEBasic
+
+    net = MEBasic()
+    x_even = jnp.asarray(_rand((1, 16, 20, 8), 12)) - 0.5
+    params = net.init(jax.random.PRNGKey(0), x_even)
+    y_even = net.apply(params, x_even)          # packed path
+    # embed the even-size input in an odd-size canvas: interior must agree
+    x_odd = jnp.pad(x_even, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y_odd = net.apply(params, x_odd)            # unpacked path
+    np.testing.assert_allclose(np.asarray(y_even[:, :8, :8]),
+                               np.asarray(y_odd[:, :8, :8]), atol=1e-5)

@@ -67,11 +67,15 @@ def test_spynet_pretrained_full_pipeline_parity():
     im2 = np.clip(np.roll(im1, 2, axis=2) + 0.01 * rng.randn(1, H, W, 3),
                   0, 1).astype(np.float32)
 
+    from fvc.ops.warp import warp_method
+
     net = SpyNet()
     params = net.init(jax.random.PRNGKey(0), jnp.asarray(im1), jnp.asarray(im2))
     p = flax.core.unfreeze(params)["params"]
     p = load_npy_weights(p, WEIGHTS)
-    ours = np.asarray(net.apply({"params": p}, jnp.asarray(im1), jnp.asarray(im2)))
+    with warp_method("gather"):  # bit-exact grid_sample parity path
+        ours = np.asarray(
+            net.apply({"params": p}, jnp.asarray(im1), jnp.asarray(im2)))
 
     weights = []
     for lvl in range(4):

@@ -21,7 +21,7 @@ def test_tiled_warp_matches_unsharded():
     flow_ref = jnp.concatenate(
         [flow[..., :1], jnp.clip(flow[..., 1:2], -halo, halo)], axis=-1)
 
-    expected = np.asarray(flow_warp(img, flow_ref))
+    expected = np.asarray(flow_warp(img, flow_ref, method="gather"))
 
     sharding = NamedSharding(mesh, P(None, "spatial", None, None))
     img_s = jax.device_put(img, sharding)
@@ -41,7 +41,8 @@ def test_tiled_warp_single_shard_fallback():
     flow = jnp.asarray((rng.rand(1, 32, 32, 2) - 0.5).astype(np.float32) * 4)
     out = flow_warp_tiled(img, flow, mesh=mesh, halo=8)
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(flow_warp(img, flow)), atol=1e-6)
+        np.asarray(out), np.asarray(flow_warp(img, flow, method="gather")),
+        atol=1e-6)
 
 
 def test_tiled_warp_differentiable():
