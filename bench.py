@@ -1,5 +1,5 @@
-"""Benchmark: LSVC (flagship tree codec) 1080p P-frame encode+decode throughput
-on one TPU chip.
+"""Benchmark: LSVC (flagship tree codec) P-frame encode+decode throughput on
+one TPU chip, at the reference's own benchmark setting.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -9,12 +9,19 @@ encode+decode pass (what LSVC.forward computes: flow + mv codec + MC + residual
 codec + reconstruction, models.py:1347-1411) therefore runs at
 1/(1/32.4 + 1/46) ~= 19.0 fps. vs_baseline = ours / 19.0.
 
+Resolution: the reference's Hermes suite (both the RD tables and the speed
+numbers) evaluates UVG at 640x960 (BASELINE.md "Hermes/LSVC suite — UVG at
+640x960"; reference eval.py:514 passes --width/--height into VideoDataset,
+dataset.py:78-79 resizes). The default here matches that setting so
+vs_baseline compares the same workload; pass --height 1088 --width 1920 for
+the 1080p variant (reported separately in docs/ROUND1_NOTES.md).
+
 Notes:
 - persistent XLA compilation cache under .jax_cache (first run pays compile).
 - init is jitted (op-by-op dispatch through the device tunnel is pathological).
 - bf16 MXU policy active for the conv path (fvc.core.policy).
 
-Run: python bench.py [--gop 6] [--height 1088] [--width 1920] [--iters 3]
+Run: python bench.py [--gop 6] [--height 640] [--width 960] [--iters 3]
 """
 
 import argparse
@@ -30,8 +37,9 @@ BASELINE_ENCDEC_FPS = 19.0  # RTX 3090 enc+dec serial, plot_hermes.py:678-691
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gop", type=int, default=6)
-    ap.add_argument("--height", type=int, default=1088)  # 1080p padded to /64
-    ap.add_argument("--width", type=int, default=1920)
+    # the reference's benchmark setting: UVG resized to 640x960 (see docstring)
+    ap.add_argument("--height", type=int, default=640)
+    ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--fp32", action="store_true")

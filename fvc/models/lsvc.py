@@ -211,7 +211,8 @@ class LSVC(nn.Module):
             mv_l = mv_hat[idx]
             tgt_l = target[idx]
             warped = flow_warp(ref_stack, mv_l)
-            mc = self.warpnet(jnp.concatenate([warped, ref_stack], axis=-1)) + warped
+            mc = self.warpnet(jnp.concatenate(
+                [warped, ref_stack.astype(warped.dtype)], axis=-1)) + warped
             res = tgt_l - mc
             res_hat, bits_l = self._res_codec(res, training=training, rng=res_rngs[li])
             com_l = jnp.clip(res_hat + mc, 0.0, 1.0)
@@ -265,8 +266,8 @@ class LSVC(nn.Module):
             ref_stack = jnp.stack(
                 [x[0] if parents[t] == 0 else com[parents[t] - 1] for t in layer])
             warped = flow_warp(ref_stack, mv_hat[idx])
-            mc = self.warpnet(
-                jnp.concatenate([warped, ref_stack], axis=-1)) + warped
+            mc = self.warpnet(jnp.concatenate(
+                [warped, ref_stack.astype(warped.dtype)], axis=-1)) + warped
             res = target[idx] - mc
             feat = self.res_encoder(res)
             z_q = jnp.round(self.prior_encoder(feat))
@@ -298,8 +299,8 @@ class LSVC(nn.Module):
             ref_stack = jnp.stack(
                 [x0 if parents[t] == 0 else com[parents[t] - 1] for t in layer])
             warped = flow_warp(ref_stack, mv_hat[idx])
-            mc = self.warpnet(
-                jnp.concatenate([warped, ref_stack], axis=-1)) + warped
+            mc = self.warpnet(jnp.concatenate(
+                [warped, ref_stack.astype(warped.dtype)], axis=-1)) + warped
             res_hat = self.res_decoder(feat_q[idx])
             com = com.at[idx].set(jnp.clip(res_hat + mc, 0.0, 1.0))
         return com

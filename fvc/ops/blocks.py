@@ -29,7 +29,8 @@ class ResBlock(nn.Module):
         y = Conv(self.features, kernel=self.kernel)(y)
         if x.shape[-1] != self.features:
             x = Conv(self.features, kernel=1)(x)
-        return x + y
+        # shortcut follows the conv-path dtype (keeps bf16 streams bf16)
+        return x.astype(y.dtype) + y
 
 
 class WarpNet(nn.Module):

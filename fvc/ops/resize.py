@@ -15,10 +15,11 @@ import jax.numpy as jnp
 
 
 def avg_pool2(x: jax.Array) -> jax.Array:
-    """2x2 average pool, stride 2 (floor semantics for odd sizes)."""
+    """2x2 average pool, stride 2 (floor semantics for odd sizes).
+    Dtype-preserving (bf16 stays bf16 under the activation policy)."""
     return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    ) * 0.25
+        x, jnp.zeros((), x.dtype), jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+        "VALID") * jnp.asarray(0.25, x.dtype)
 
 
 def _linear_weights(out_size: int, in_size: int, align_corners: bool):
@@ -42,6 +43,9 @@ def bilinear_resize(x: jax.Array, out_h: int, out_w: int, *, align_corners: bool
     _, h, w, _ = x.shape
     lo_h, hi_h, fh = _linear_weights(out_h, h, align_corners)
     lo_w, hi_w, fw = _linear_weights(out_w, w, align_corners)
+    # lerp weights ride the activation dtype so bf16 streams stay bf16
+    fh = fh.astype(x.dtype)
+    fw = fw.astype(x.dtype)
     # rows
     top = jnp.take(x, lo_h, axis=1)
     bot = jnp.take(x, hi_h, axis=1)

@@ -59,7 +59,17 @@ class SpyNet(nn.Module):
     @nn.compact
     def __call__(self, im1, im2):
         """Flow that warps im2 toward im1 (reference call order
-        opticFlow(Y1_raw, Y0_com), models.py:989). NHWC in, [B,H,W,2] out."""
+        opticFlow(Y1_raw, Y0_com), models.py:989). NHWC in, [B,H,W,2] out.
+
+        Under the bf16 activation policy the image pyramid and conv stream
+        ride bf16; the flow itself accumulates in f32 (2 channels — cheap)
+        to keep subpixel precision across the coarse-to-fine chain."""
+        from fvc.core.policy import compute_dtype
+
+        dt = compute_dtype()
+        if dt is not None:
+            im1 = im1.astype(dt)
+            im2 = im2.astype(dt)
         pyr1 = [im1]
         pyr2 = [im2]
         for _ in range(self.levels - 1):
@@ -68,13 +78,15 @@ class SpyNet(nn.Module):
 
         b = im1.shape[0]
         h, w = pyr1[-1].shape[1] // 2, pyr1[-1].shape[2] // 2
-        flow = jnp.zeros((b, h, w, 2), im1.dtype)
+        flow = jnp.zeros((b, h, w, 2), jnp.float32)
         for lvl in range(self.levels):
             flow_up = upsample2x(flow, align_corners=False) * 2.0
             ref = pyr1[self.levels - 1 - lvl]
             tgt = pyr2[self.levels - 1 - lvl]
-            inp = jnp.concatenate([ref, flow_warp(tgt, flow_up), flow_up], axis=-1)
-            flow = flow_up + MEBasic(name=f"level{lvl}")(inp)
+            inp = jnp.concatenate(
+                [ref, flow_warp(tgt, flow_up), flow_up.astype(ref.dtype)],
+                axis=-1)
+            flow = flow_up + MEBasic(name=f"level{lvl}")(inp).astype(jnp.float32)
         return flow
 
 

@@ -56,8 +56,8 @@ def _bilinear_gather(img: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
     py = jnp.clip(py, 0.0, H - 1.0)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
-    wx = (px - x0)[..., None]
-    wy = (py - y0)[..., None]
+    wx = (px - x0)[..., None].astype(img.dtype)
+    wy = (py - y0)[..., None].astype(img.dtype)
     ix0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
     iy0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     ix1 = jnp.minimum(ix0 + 1, W - 1)
@@ -115,8 +115,8 @@ def _warp_window(img: jax.Array, flow: jax.Array, radius: int) -> jax.Array:
     px, py = _source_coords(H, W, flow)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
-    wx = (px - x0)[..., None]
-    wy = (py - y0)[..., None]
+    wx = (px - x0)[..., None].astype(img.dtype)
+    wy = (py - y0)[..., None].astype(img.dtype)
     j = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     i = jnp.arange(H, dtype=jnp.int32)[None, :, None]
     dy = jnp.clip(y0.astype(jnp.int32) - i, -R, R)[..., None]
