@@ -53,6 +53,9 @@ class CodecConfig:
     sample_ratio: float = 0.1         # OLFT touch-up fraction
     olft: bool = False                # '-OLFT'
     imbalanced_attention: bool = True # '-IA'
+    use_context_model: bool = False   # '-CTX': ContextVP causal entropy context
+                                      # (super_precision.py:250-444 — present
+                                      # but unwired in the reference)
 
     # GOP structure
     gop_size: int = 16
@@ -84,6 +87,7 @@ class CodecConfig:
         if "ELFVC" in name:
             updates.update(super_precision="-SP" in name)
         if "MCVC" in name:
-            updates.update(imbalanced_attention="-IA" in name, olft="-OLFT" in name)
+            updates.update(imbalanced_attention="-IA" in name, olft="-OLFT" in name,
+                           use_context_model="-CTX" in name)
         updates.update(kw)
         return CodecConfig(**updates)

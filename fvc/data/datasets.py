@@ -111,8 +111,11 @@ def read_video_ffmpeg(path: str, *, width: Optional[int] = None,
 # ---------------------------------------------------------------------------
 
 class SyntheticVideoDataset:
-    """Deterministic moving-texture clips: global translation + noise, so flow
-    estimation and RD training have real structure to exploit."""
+    """Deterministic moving-texture clips so flow estimation and RD training
+    have real structure to exploit: 2-3 independently translating textured
+    layers (foreground layers occlude background) with SUBPIXEL per-frame
+    motion (integer-quantized motion would never teach the codec subpixel
+    flow) plus light sensor noise."""
 
     def __init__(self, num_videos: int = 4, frames: int = 16, height: int = 256,
                  width: int = 256, seed: int = 0, motion: float = 2.0,
@@ -127,24 +130,55 @@ class SyntheticVideoDataset:
     def __len__(self):
         return self.num_videos
 
-    def __getitem__(self, idx: int) -> np.ndarray:
-        rng = np.random.RandomState(self.seed + idx)
-        # smooth random texture: blurred noise
-        big = rng.rand(self.h * 2, self.w * 2, 3).astype(np.float32)
-        k = 9
-        kernel = np.ones(k, np.float32) / k
+    def _texture(self, rng, h, w, smooth):
+        big = rng.rand(h, w, 3).astype(np.float32)
+        kernel = np.ones(smooth, np.float32) / smooth
         for ax in (0, 1):
             big = np.apply_along_axis(
                 lambda m: np.convolve(m, kernel, mode="same"), ax, big)
-        big = (big - big.min()) / (np.ptp(big) + 1e-6)
-        dx, dy = rng.uniform(-self.motion, self.motion, 2)
+        lo, hi = big.min(), big.max()
+        return (big - lo) / (hi - lo + 1e-6)
+
+    def _crop_subpixel(self, big, oy, ox, h, w):
+        """Bilinear crop of big at float offset (oy, ox)."""
+        iy, fy = int(np.floor(oy)), oy - np.floor(oy)
+        ix, fx = int(np.floor(ox)), ox - np.floor(ox)
+        win = big[iy:iy + h + 1, ix:ix + w + 1]
+        top = win[:h, :w] * (1 - fx) + win[:h, 1:w + 1] * fx
+        bot = win[1:h + 1, :w] * (1 - fx) + win[1:h + 1, 1:w + 1] * fx
+        return top * (1 - fy) + bot * fy
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + idx)
+        h, w = self.h, self.w
+        margin = int(np.ceil(self.motion * self.frames)) + 2
+        n_layers = 2 + (idx % 2)
+        layers = []
+        for li in range(n_layers):
+            smooth = int(rng.choice([5, 9, 17]))
+            tex = self._texture(rng, h + 2 * margin, w + 2 * margin, smooth)
+            v = rng.uniform(-self.motion, self.motion, 2)
+            if li > 0:  # foreground: soft elliptical matte
+                cy, cx = rng.uniform(0.25, 0.75, 2)
+                ry, rx = rng.uniform(0.15, 0.35, 2)
+                yy = (np.arange(h)[:, None] / h - cy) / ry
+                xx = (np.arange(w)[None, :] / w - cx) / rx
+                m = np.clip(2.0 - np.sqrt(yy ** 2 + xx ** 2) * 2.0, 0, 1)
+                mask = m[..., None].astype(np.float32)
+            else:
+                mask = None
+            layers.append((tex, v, mask))
         frames = []
         for t in range(self.frames):
-            ox = int(self.w / 2 + t * dx) % self.w
-            oy = int(self.h / 2 + t * dy) % self.h
-            crop = big[oy: oy + self.h, ox: ox + self.w]
-            crop = crop + self.noise * rng.randn(*crop.shape)
-            frames.append(np.clip(crop, 0, 1).astype(np.float32))
+            canvas = None
+            for (tex, v, mask) in layers:
+                oy = margin + t * v[1]
+                ox = margin + t * v[0]
+                crop = self._crop_subpixel(tex, oy, ox, h, w)
+                canvas = crop if canvas is None else (
+                    canvas * (1 - mask) + crop * mask)
+            canvas = canvas + self.noise * rng.randn(h, w, 3).astype(np.float32)
+            frames.append(np.clip(canvas, 0, 1).astype(np.float32))
         return np.stack(frames)
 
 

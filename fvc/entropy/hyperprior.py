@@ -148,6 +148,8 @@ class SSFHyperprior(nn.Module):
     planes: int = 192
     super_prec: bool = False
     sp_active: bool = False  # use predictor output as y_hat (spstage gating)
+    use_context: bool = False  # ContextVP causal entropy-parameter refinement
+    context_views: int = 1
 
     def setup(self):
         self.hyper_encoder = _HyperEncoder(self.planes)
@@ -156,6 +158,11 @@ class SSFHyperprior(nn.Module):
         self.hyper_decoder_mean = _HyperDecoder(self.planes)
         if self.super_prec:
             self.y_predictor = SPnet(out_channels=self.planes)
+        if self.use_context:
+            from fvc.models.context_vp import ContextVP
+            self.context_model = ContextVP(
+                in_channels=self.planes, out_channels=2 * self.planes,
+                num_views=self.context_views)
 
     def encode_z(self, y):
         return self.hyper_encoder(y)
@@ -168,7 +175,31 @@ class SSFHyperprior(nn.Module):
         z = self.hyper_encoder(y)
         z_hat, z_likelihood = self.entropy_bottleneck(z, training=training, rng=r1)
         scales, means = self.params_from_z(z_hat)
-        _, y_likelihood = gaussian_conditional(y, scales, means, training=training, rng=r2)
+        if self.use_context:
+            # Causal refinement of the CODING distribution only: the context
+            # sees the rounded latent (shift-token => token t conditions on
+            # tokens < t, so a decoder can reproduce it token-serially). The
+            # symbols stay round(y - hyper_means) — quantization offset and
+            # reconstruction are untouched, the context just reshapes the
+            # probability those symbols are coded under (decode-consistent).
+            from fvc.ops.math import gaussian_interval_likelihood, lower_bound
+
+            y_round = jax.lax.stop_gradient(jnp.round(y - means) + means)
+            delta = self.context_model(y_round)
+            d_scale, d_mean = jnp.split(delta, 2, axis=-1)
+            scales_c = jnp.maximum(scales + d_scale, 0.04)
+            means_c = means + d_mean
+            if training:
+                if r2 is None:
+                    raise ValueError("context hyperprior training needs rng")
+                y_sym = y + jax.random.uniform(r2, y.shape, y.dtype, -0.5, 0.5)
+            else:
+                y_sym = y_round
+            y_likelihood = lower_bound(
+                gaussian_interval_likelihood(y_sym, scales_c, means_c), 1e-9)
+        else:
+            _, y_likelihood = gaussian_conditional(
+                y, scales, means, training=training, rng=r2)
         y_hat = quantize_ste(y - means) + means
         q_y = jnp.round(y - means) + means
         q_err_y = q_y - y

@@ -102,6 +102,8 @@ class ContextVP(nn.Module):
         v = self.num_views
         b = bv // v
         tokens = x.reshape(b, v * h * w, c)
-        out = VPCT(self.in_channels, self.num_views * self.height * self.width,
+        # block_size (positional table) follows the actual grid; the `width`/
+        # `height` fields are defaults used only for shape-free construction
+        out = VPCT(self.in_channels, v * h * w,
                    self.out_channels, self.model_type)(tokens)
         return out.reshape(b * v, h, w, self.out_channels)

@@ -149,15 +149,20 @@ class MCVC(nn.Module):
 
     def setup(self):
         cfg = self.config
+        # '-CTX': ContextVP causal entropy context over the view-token grid
+        # refines the keyframe / residual coding distributions (the motion
+        # latent is small — context cost there isn't worth it)
+        ctx = dict(use_context=cfg.use_context_model,
+                   context_views=max(cfg.num_views, 1))
         self.img_encoder = SSFEncoder(mid=self.mid, out=self.planes)
         self.img_decoder = SSFDecoder(mid=self.mid, out=3)
-        self.img_hyperprior = SSFHyperprior(self.planes)
+        self.img_hyperprior = SSFHyperprior(self.planes, **ctx)
         self.motion_encoder = SSFEncoder(mid=self.mid, out=self.planes)
         self.motion_decoder = SSFDecoder(mid=self.mid, out=3)
         self.motion_hyperprior = SSFHyperprior(self.planes)
         self.res_encoder = SSFEncoder(mid=self.mid, out=self.planes)
         self.res_decoder = SSFDecoder(mid=self.mid, out=3)
-        self.res_hyperprior = SSFHyperprior(self.planes)
+        self.res_hyperprior = SSFHyperprior(self.planes, **ctx)
         if cfg.imbalanced_attention:
             self.backup_img_decoder = AttnDecoder(
                 out=3, num_views=cfg.num_views, use_attn=self.use_attn)

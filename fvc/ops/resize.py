@@ -12,13 +12,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def avg_pool2(x: jax.Array) -> jax.Array:
     """2x2 average pool, stride 2 (floor semantics for odd sizes).
     Dtype-preserving (bf16 stays bf16 under the activation policy)."""
+    zero = np.zeros((), np.dtype(x.dtype))[()]
     return jax.lax.reduce_window(
-        x, jnp.zeros((), x.dtype), jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+        x, zero, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
         "VALID") * jnp.asarray(0.25, x.dtype)
 
 

@@ -60,7 +60,13 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
         variables, opt_state, metrics = step_fn(
             variables, opt_state, batch, jax.random.PRNGKey(seed + 2 + step))
         if step % log_every == 0 or step == steps - 1:
-            history.append({k: float(v) for k, v in metrics.items()})
+            rec = {k: float(v) for k, v in metrics.items()}
+            rec["step"] = step
+            history.append(rec)
+            import json as _json
+            import time as _time
+            print(_json.dumps({"t": round(_time.time(), 1), **rec}),
+                  flush=True)
         if ckpt_dir and (step + 1) % ckpt_every == 0:
             save_checkpoint(ckpt_dir, step + 1, {"params": variables})
     if ckpt_dir:

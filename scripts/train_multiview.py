@@ -1,0 +1,290 @@
+#!/usr/bin/env python
+"""Multi-camera (MCVC) driver — reference train_multiview.py equivalent.
+
+Modes (reference line references into /root/reference/train_multiview.py):
+  --pretrain    full-model RD pretrain with converge-N early stop (:508-533)
+  --olft        online fine-tuning of backup decoders on the streaming pool,
+                with the probe -> sample-interval -> train -> probe bandwidth
+                accounting (:570-620, probe :392-406)
+  --benchmark   per-category RD logging (:487-497)
+  --speed-test  encode fps vs #views (:535-552)
+  --sweep X     OLFT ablation sweeps, X in {c2s, si, mps, sr, views}
+                (:620-895: c2s ratio, sample interval, max pool size,
+                sample ratio, #views)
+
+Examples:
+  python scripts/train_multiview.py --pretrain --steps 50 --size 64 --gop 4
+  python scripts/train_multiview.py --olft --category office --steps 20
+  python scripts/train_multiview.py --sweep c2s --steps 10 --size 64
+
+Logs: one JSON record per line appended to {logdir}/MCVC-IA-OLFT.{tag}.log
+(the reference's 2-line CSV-ish records carried the same fields; JSON keeps
+them machine-readable for fvc.sim.bola / plot tooling).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+CATEGORIES = ["cafe_shop", "industry_safety", "lobby", "office", "retail"]
+
+
+def log_append(logdir, tag, record):
+    os.makedirs(logdir, exist_ok=True)
+    path = os.path.join(logdir, f"MCVC-IA-OLFT.{tag}.log")
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+    return path
+
+
+def measure_touchup_ratio(model, variables, cfg, dataset, *, n_batches=2,
+                          rng_seed=0):
+    """Probe (train_multiview.py:392-406): run a few GOPs and measure the
+    touch-up side-channel size relative to the coded stream — the ratio that
+    divides the bandwidth budget into a sampling interval."""
+    import jax
+    import jax.numpy as jnp
+
+    from fvc.models.mcvc import (mcvc_gop_metrics, replace_topk_pixels,
+                                 sample_view_mask, touchup_bits)
+
+    rng = np.random.RandomState(rng_seed)
+    ratios = []
+    for i in range(n_batches):
+        clip = dataset.sample()
+        G, V, H, W, _ = clip.shape
+        frames = jnp.asarray(clip)
+        mask = jnp.ones((V,), jnp.float32)
+        out = model.apply(variables, frames, mask, training=False)
+        m = mcvc_gop_metrics(frames, out, cfg)
+        stream_bits = float(m["bpp_est"]) * G * V * H * W
+        tu_bits = 0
+        for g in range(G):
+            for v in range(V):
+                _, delta = replace_topk_pixels(
+                    out["x_ref"][g, v], frames[g, v], cfg.sample_ratio)
+                tu_bits += touchup_bits(np.asarray(delta))
+        ratios.append(tu_bits / max(stream_bits, 1.0))
+    return float(np.mean(ratios))
+
+
+def build(args, category, num_views=None):
+    from fvc.data.datasets import MultiViewVideoDataset
+    from fvc.models.registry import get_codec_model
+
+    from fvc.data.datasets import MultiViewVideoDataset as _MV
+
+    views = num_views or _MV.CATEGORY_VIEWS.get(category, 4)
+    model, cfg = get_codec_model(
+        "MCVC-IA-OLFT" if args.olft or args.sweep else "MCVC-IA",
+        compression_level=args.level, num_views=views,
+        resilience=1)
+    if args.sample_ratio is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, sample_ratio=args.sample_ratio)
+    ds = MultiViewVideoDataset(
+        root=args.data, category=category, gop=args.gop + 1,
+        height=args.size, width=args.size,
+        sample_interval=args.sample_interval, c2s_ratio=args.c2s,
+        max_pool_size=args.max_pool_size, seed=args.seed)
+    if num_views is not None:
+        ds.views = num_views
+    return model, cfg, ds
+
+
+def run_olft(args, category, tag, **ds_overrides):
+    """probe -> set sampling interval -> OLFT -> probe again -> log."""
+    import jax
+
+    from fvc.train.loop import probe_sample_interval, train_multiview_olft
+
+    model, cfg, ds = build(args, category)
+    for k, v in ds_overrides.items():
+        setattr(ds, k, v)
+    variables = model.init(
+        jax.random.PRNGKey(args.seed), np_first(ds), ones_mask(ds),
+        training=True, rng=jax.random.PRNGKey(args.seed + 1))
+    r0 = measure_touchup_ratio(model, variables, cfg, ds)
+    si = probe_sample_interval(r0, args.bw_limit)
+    ds.sample_interval = si
+    t0 = time.time()
+    variables, history = train_multiview_olft(
+        model, cfg, ds, steps=args.steps, learning_rate=args.lr,
+        only_backup_decoders=True, seed=args.seed)
+    r1 = measure_touchup_ratio(model, variables, cfg, ds)
+    rec = {"mode": "olft", "category": category, "level": args.level,
+           "c2s": ds.c2s_ratio, "sample_interval": si,
+           "max_pool_size": ds.max_pool_size, "views": ds.views,
+           "sample_ratio": cfg.sample_ratio,
+           "probe_ratio_before": r0, "probe_ratio_after": r1,
+           "bandwidth_saving": (r0 - r1) / max(r0, 1e-9),
+           "mse_first": history[0] if history else None,
+           "mse_last": history[-1] if history else None,
+           "steps": args.steps, "train_s": round(time.time() - t0, 2)}
+    path = log_append(args.logdir, tag, rec)
+    print(json.dumps(rec))
+    print(f"# logged to {path}", file=sys.stderr)
+    return rec
+
+
+def np_first(ds):
+    import jax.numpy as jnp
+    return jnp.asarray(ds[0])
+
+
+def ones_mask(ds):
+    import jax.numpy as jnp
+    return jnp.ones((ds.views,), jnp.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--pretrain", action="store_true")
+    mode.add_argument("--olft", action="store_true")
+    mode.add_argument("--benchmark", action="store_true")
+    mode.add_argument("--speed-test", action="store_true")
+    mode.add_argument("--sweep", choices=["c2s", "si", "mps", "sr", "views"])
+    ap.add_argument("--category", default="office", choices=CATEGORIES + ["all"])
+    ap.add_argument("--level", type=int, default=2)
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--gop", type=int, default=4)
+    ap.add_argument("--size", type=int, default=128,
+                    help="frame size; the SSF transform stack needs /128")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--c2s", type=float, default=1.0)
+    ap.add_argument("--sample-interval", type=float, default=1.0)
+    ap.add_argument("--max-pool-size", type=int, default=10)
+    ap.add_argument("--sample-ratio", type=float, default=None)
+    ap.add_argument("--bw-limit", type=float, default=0.1,
+                    help="touch-up bandwidth budget as a stream fraction")
+    ap.add_argument("--logdir", default="logs")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU to training)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    cats = CATEGORIES if args.category == "all" else [args.category]
+
+    if args.pretrain:
+        from fvc.data.datasets import FrameDataset
+        from fvc.models.registry import get_codec_model
+        from fvc.train.loop import pretrain_multiview
+
+        # pretraining runs single-view clips as views=1 (train_multiview.py:508)
+        model, cfg = get_codec_model("MCVC-IA", compression_level=args.level,
+                                     num_views=1, resilience=0)
+
+        class _SingleViewAsMV:
+            """Vimeo-style clips entered as views=1 (train_multiview.py:508)."""
+
+            def __init__(self, inner, gop):
+                self.inner, self.gop = inner, gop
+
+            def sample(self):
+                clip = self.inner[np.random.randint(0, len(self.inner))]
+                return clip[: self.gop + 1, None]  # [G, 1, H, W, 3]
+
+        ds = _SingleViewAsMV(FrameDataset(root=args.data, crop=args.size,
+                                          frames=args.gop + 1,
+                                          seed=args.seed), args.gop)
+        variables, history = pretrain_multiview(
+            model, cfg, ds, steps=args.steps, learning_rate=args.lr,
+            seed=args.seed)
+        if args.ckpt:
+            from fvc.train.checkpoint import save_checkpoint
+            save_checkpoint(args.ckpt, args.steps, {"params": variables},
+                            best=True)
+        print(json.dumps({"mode": "pretrain", "steps_run": len(history),
+                          "loss_first": history[0], "loss_last": history[-1]}))
+        return
+
+    if args.olft:
+        for cat in cats:
+            run_olft(args, cat, tag=f"{cat}.l{args.level}")
+        return
+
+    if args.benchmark:
+        from fvc.models.mcvc import mcvc_gop_metrics
+        import jax.numpy as jnp
+
+        for cat in cats:
+            model, cfg, ds = build(args, cat)
+            variables = model.init(
+                jax.random.PRNGKey(args.seed), np_first(ds), ones_mask(ds),
+                training=False)
+            ms = []
+            for i in range(min(len(ds), 4)):
+                frames = jnp.asarray(ds[i])
+                out = model.apply(variables, frames, ones_mask(ds),
+                                  training=False)
+                m = mcvc_gop_metrics(frames, out, cfg)
+                ms.append({k: float(v) for k, v in m.items()})
+            rec = {"mode": "benchmark", "category": cat, "level": args.level,
+                   "views": ds.views,
+                   "psnr": float(np.mean([m["psnr"] for m in ms])),
+                   "bpp_est": float(np.mean([m["bpp_est"] for m in ms]))}
+            log_append(args.logdir, f"benchmark.{cat}", rec)
+            print(json.dumps(rec))
+        return
+
+    if args.speed_test:
+        import jax.numpy as jnp
+
+        for v in range(1, 7):
+            model, cfg, ds = build(args, cats[0], num_views=v)
+            frames = jnp.asarray(ds[0][:, :v] if ds[0].shape[1] >= v else
+                                 np.repeat(ds[0][:, :1], v, axis=1))
+            mask = jnp.ones((v,), jnp.float32)
+            variables = model.init(jax.random.PRNGKey(0), frames, mask,
+                                   training=False)
+            fwd = jax.jit(lambda p, f: model.apply(p, f, mask, training=False)["x_hat"])
+            out = fwd(variables, frames)
+            jax.block_until_ready(out)
+            t0 = time.time()
+            iters = 3
+            for _ in range(iters):
+                out = fwd(variables, frames)
+            _ = float(jnp.ravel(out)[0])
+            dt = (time.time() - t0) / iters
+            fps = frames.shape[0] * v / dt
+            rec = {"mode": "speed", "views": v,
+                   "fps": round(fps, 2), "s_per_gop": round(dt, 4)}
+            log_append(args.logdir, "speed", rec)
+            print(json.dumps(rec))
+        return
+
+    # sweeps (train_multiview.py:620-895)
+    sweeps = {
+        "c2s": [("c2s_ratio", v) for v in (0.5, 1.0, 2.0)],
+        "si": [("sample_interval", v) for v in (1.0, 2.0, 4.0)],
+        "mps": [("max_pool_size", v) for v in (1, 5, 10)],
+        "sr": [("sample_ratio", v) for v in (0.01, 0.03, 0.1)],
+        "views": [("views", v) for v in (2, 3, 4)],
+    }
+    for attr, val in sweeps[args.sweep]:
+        for cat in cats:
+            if attr == "sample_ratio":
+                args.sample_ratio = val
+                run_olft(args, cat, tag=f"sweep_sr.{val}")
+            else:
+                run_olft(args, cat, tag=f"sweep_{args.sweep}.{val}",
+                         **{attr: val})
+
+
+if __name__ == "__main__":
+    main()

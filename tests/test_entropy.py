@@ -157,3 +157,42 @@ def test_entropy_bottleneck_trains_toward_true_entropy():
     # true differential entropy of N(0,3) quantized at 1 ~ 3.6 bits
     assert bits_last < bits_first
     assert bits_last < 4.6, bits_last
+
+
+def test_ssf_hyperprior_context_model():
+    """'-CTX' ContextVP wiring: the causal context refines only the coding
+    distribution — symbols / reconstruction identical to the base hyperprior,
+    likelihoods valid, gradients flow into the context transformer."""
+    import jax
+    import jax.numpy as jnp
+
+    from fvc.entropy.hyperprior import SSFHyperprior
+
+    rng = np.random.RandomState(0)
+    y = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+
+    base = SSFHyperprior(planes=32)
+    ctx = SSFHyperprior(planes=32, use_context=True, context_views=2)
+    pb = base.init(jax.random.PRNGKey(0), y, training=False)
+    pc = ctx.init(jax.random.PRNGKey(0), y, training=False)
+    # graft the shared (non-context) params so the two models agree
+    pc2 = jax.tree_util.tree_map(lambda x: x, pc)
+    for k in pb["params"]:
+        pc2["params"][k] = pb["params"][k]
+
+    yb, lkb, _ = base.apply(pb, y, training=False)
+    yc, lkc, _ = ctx.apply(pc2, y, training=False)
+    # reconstruction path unchanged (context touches only the likelihood)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(yc), atol=1e-6)
+    assert np.isfinite(np.asarray(lkc["y"])).all()
+    assert float(jnp.min(lkc["y"])) > 0
+
+    # gradient reaches the context transformer
+    def loss(p):
+        _, lk, _ = ctx.apply(p, y, training=True, rng=jax.random.PRNGKey(1))
+        return -jnp.sum(jnp.log(lk["y"]))
+
+    g = jax.grad(loss)(pc2)
+    gnorm = sum(float(jnp.sum(jnp.abs(v)))
+                for v in jax.tree_util.tree_leaves(g["params"]["context_model"]))
+    assert np.isfinite(gnorm) and gnorm > 0

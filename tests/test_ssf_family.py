@@ -141,3 +141,23 @@ def test_registry_builds_all_families():
         model, cfg = get_codec_model(name, num_views=2)
         assert model is not None
         assert cfg.name == name
+
+
+def test_mcvc_ctx_context_entropy():
+    """MCVC-IA-CTX: ContextVP entropy context wired into keyframe/residual
+    hyperpriors; forward runs and produces finite likelihood-based metrics."""
+    from fvc.models.mcvc import mcvc_gop_metrics
+    from fvc.models.registry import get_codec_model
+
+    views = 2
+    model, cfg = get_codec_model("MCVC-IA-CTX", num_views=views, resilience=1)
+    assert cfg.use_context_model
+    frames = _frames(2, B=views)
+    mask = jnp.ones((views,), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), frames, mask, training=False)
+    out = model.apply(variables, frames, mask, training=False)
+    m = mcvc_gop_metrics(frames, out, cfg)
+    assert np.isfinite(float(m["bpp_est"])) and float(m["bpp_est"]) > 0
+    # context params exist
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    assert any("context_model" in str(p) for p, _ in flat)
