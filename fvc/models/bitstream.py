@@ -53,16 +53,22 @@ class LSVCBitstreamCodec:
             lambda x: z_cdf(variables, x), 64)
         self.res_coder = laplace_cdf_tables()
 
-    def compress(self, x) -> Tuple[Dict[str, bytes], dict]:
-        """x: [GOP+1, H, W, 3] with frame 0 the reconstructed I-frame.
-        Returns (streams, info). info carries shapes + the encoder-side recon
-        for verification."""
+    def submit(self, x) -> dict:
+        """Device half of compress(): launch the latent collection + sigma /
+        index computation and return the in-flight device arrays WITHOUT
+        blocking (JAX async dispatch). Pair with `host_encode`."""
         lat = self._collect(self.variables, jnp.asarray(x))
+        sigma = self._sigma(self.variables, lat["z_q"])
+        lat["indexes"] = build_indexes(sigma)
+        return lat
+
+    def host_encode(self, lat: dict) -> Tuple[Dict[str, bytes], dict]:
+        """Host half of compress(): blocks on the device values (np.asarray)
+        and runs the CPU rANS coder."""
         mv_q = np.asarray(lat["mv_q"])
         z_q = np.asarray(lat["z_q"])
         feat_q = np.asarray(lat["feat_q"])
-        sigma = np.asarray(self._sigma(self.variables, jnp.asarray(z_q)))
-        indexes = np.asarray(build_indexes(jnp.asarray(sigma)))
+        indexes = np.asarray(lat["indexes"])
 
         streams = {
             "mv": encode_channelwise(self.mv_coder, mv_q),
@@ -73,6 +79,26 @@ class LSVCBitstreamCodec:
         info = {"mv_shape": mv_q.shape, "z_shape": z_q.shape,
                 "feat_shape": feat_q.shape, "recon": np.asarray(lat["recon"])}
         return streams, info
+
+    def compress(self, x) -> Tuple[Dict[str, bytes], dict]:
+        """x: [GOP+1, H, W, 3] with frame 0 the reconstructed I-frame.
+        Returns (streams, info). info carries shapes + the encoder-side recon
+        for verification."""
+        return self.host_encode(self.submit(x))
+
+    def compress_pipelined(self, gops) -> list:
+        """Encode a sequence of GOPs with host/device overlap (SURVEY §7
+        'Real entropy coding on TPU'): GOP n+1's transform runs on the device
+        while the host rANS-codes GOP n. One-deep software pipeline — device
+        queue depth stays bounded. Returns [(streams, info), ...], identical
+        to sequential compress() per GOP."""
+        results = []
+        pending = self.submit(gops[0]) if len(gops) else None
+        for i in range(len(gops)):
+            nxt = self.submit(gops[i + 1]) if i + 1 < len(gops) else None
+            results.append(self.host_encode(pending))  # blocks on GOP i only
+            pending = nxt
+        return results
 
     def decompress(self, x0, streams: Dict[str, bytes], info: dict):
         """x0: [H, W, 3] reconstructed I-frame. Returns decoded frames."""

@@ -86,8 +86,10 @@ def main():
                              "fvc.models for the other families")
         from fvc.models.bitstream import LSVCBitstreamCodec
         codec = LSVCBitstreamCodec(model, variables)
-        for g, r in zip(gops, results):
-            streams, info = codec.compress(np.asarray(g))
+        # software-pipelined: GOP n+1's device transform overlaps GOP n's
+        # host rANS coding (bit-identical to sequential compress())
+        coded = codec.compress_pipelined([np.asarray(g) for g in gops])
+        for g, r, (streams, info) in zip(gops, results, coded):
             T, H, W = g.shape[0] - 1, g.shape[1], g.shape[2]
             r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
     if args.log:

@@ -180,3 +180,30 @@ def test_mcvc_real_bitstream_roundtrip():
     np.testing.assert_allclose(recons, info["recons"], atol=1e-5)
     assert enhanced.shape == (G, views, H, W, 3)
     assert codec.num_bits(streams) > 0
+
+
+def test_lsvc_pipelined_compress_matches_sequential():
+    """compress_pipelined overlaps device transforms with host rANS coding
+    (SURVEY §7 'Real entropy coding on TPU'); streams must be bit-identical
+    to per-GOP compress()."""
+    from fvc.models.lsvc import LSVC
+    from fvc.models.bitstream import LSVCBitstreamCodec
+
+    rng = np.random.RandomState(3)
+    gop, H, W = 2, 64, 64
+    gops = [np.clip(rng.rand(gop + 1, H, W, 3), 0, 1).astype(np.float32)
+            for _ in range(3)]
+    cfg = CodecConfig.from_name("LSVC")
+    model = LSVC(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(gops[0]),
+                           training=False)
+    codec = LSVCBitstreamCodec(model, variables)
+
+    seq = [codec.compress(g) for g in gops]
+    pipe = codec.compress_pipelined(gops)
+    assert len(pipe) == len(seq)
+    for (s_seq, i_seq), (s_pipe, i_pipe) in zip(seq, pipe):
+        assert set(s_seq) == set(s_pipe)
+        for k in s_seq:
+            assert s_seq[k] == s_pipe[k], k
+        np.testing.assert_array_equal(i_seq["recon"], i_pipe["recon"])
