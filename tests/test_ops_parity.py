@@ -340,3 +340,19 @@ def test_mebasic_packed_matches_unpacked():
     y_odd = net.apply(params, x_odd)            # unpacked path
     np.testing.assert_allclose(np.asarray(y_even[:, :8, :8]),
                                np.asarray(y_odd[:, :8, :8]), atol=1e-5)
+
+
+@pytest.mark.parametrize("align", [False, True])
+def test_upsample2x_shift_path_matches_take_path(align):
+    # upsample2x uses the TPU-fast shift+interleave decomposition; it must be
+    # bit-identical to the gather-based bilinear_resize (itself torch-golden)
+    # for every geometry, including edge rows/cols and degenerate sizes.
+    from fvc.ops import bilinear_resize, upsample2x
+
+    for i, shape in enumerate([(1, 1, 1, 1), (1, 2, 3, 2), (2, 5, 7, 3),
+                               (1, 64, 96, 4), (3, 17, 13, 5)]):
+        x = jnp.asarray(_rand(shape, 100 + i))
+        a = np.asarray(upsample2x(x, align_corners=align))
+        b = np.asarray(bilinear_resize(x, 2 * shape[1], 2 * shape[2],
+                                       align_corners=align))
+        np.testing.assert_array_equal(a, b)
