@@ -109,41 +109,60 @@ def _source_coords(H: int, W: int, flow: jax.Array):
 
 
 def _warp_window(img: jax.Array, flow: jax.Array, radius: int) -> jax.Array:
-    """Two-pass shift-and-select warp (see module docstring)."""
-    R = radius
+    """Two-pass shift-and-select warp (see module docstring).
+
+    Layout note: the image is warped in channel-FIRST layout. Warped tensors
+    are 2-3 channels; with channels-last their lane (minor) dim is 3/128
+    occupied and every select/lerp pass runs at ~45 GB/s (measured,
+    scripts/microbench_ops.py). Transposing to [B,C,H,W] puts W on the lane
+    dim, and the two cheap 11 MB transposes buy back a ~6x faster select
+    chain."""
     B, H, W, C = img.shape
     px, py = _source_coords(H, W, flow)
+    chw = img.transpose(0, 3, 1, 2)  # [B,C,H,W]
+    out = _window_sample_chw(chw, px, py, radius)
+    return out.transpose(0, 2, 3, 1)
+
+
+def _window_sample_chw(chw: jax.Array, px: jax.Array, py: jax.Array,
+                       radius: int) -> jax.Array:
+    """Bilinear-sample `chw` [B,C,H,W] at clipped float pixel coords px/py
+    [B,H,W] with the two-pass windowed shift-and-select scheme. Shared by
+    flow_warp and scale_space_warp (which differ only in how the source
+    coordinates derive from the flow)."""
+    R = radius
+    B, C, H, W = chw.shape
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
-    wx = (px - x0)[..., None].astype(img.dtype)
-    wy = (py - y0)[..., None].astype(img.dtype)
+    wx = (px - x0)[:, None].astype(chw.dtype)       # [B,1,H,W]
+    wy = (py - y0)[:, None].astype(chw.dtype)
     j = jnp.arange(W, dtype=jnp.int32)[None, None, :]
     i = jnp.arange(H, dtype=jnp.int32)[None, :, None]
-    dy = jnp.clip(y0.astype(jnp.int32) - i, -R, R)[..., None]
-    dx = jnp.clip(x0.astype(jnp.int32) - j, -R, R)[..., None]
+    dy = jnp.clip(y0.astype(jnp.int32) - i, -R, R)[:, None]   # [B,1,H,W]
+    dx = jnp.clip(x0.astype(jnp.int32) - j, -R, R)[:, None]
 
     # vertical pass: V0[i,j] = img[i+dy, j], V1 = img[i+dy+1, j]
-    pad = jnp.pad(img, ((0, 0), (R, R + 1), (0, 0), (0, 0)), mode="edge")
-    v0 = pad[:, R:R + H]
-    v1 = pad[:, R + 1:R + 1 + H]
+    pad = jnp.pad(chw, ((0, 0), (0, 0), (R, R + 1), (0, 0)), mode="edge")
+    v0 = pad[:, :, R:R + H]
+    v1 = pad[:, :, R + 1:R + 1 + H]
     for d in range(-R, R + 1):
         if d == 0:
             continue
         m = dy == d
-        v0 = jnp.where(m, pad[:, R + d:R + d + H], v0)
-        v1 = jnp.where(m, pad[:, R + d + 1:R + d + 1 + H], v1)
-    vy = (v0 + (v1 - v0) * wy).astype(img.dtype)
+        v0 = jnp.where(m, pad[:, :, R + d:R + d + H], v0)
+        v1 = jnp.where(m, pad[:, :, R + d + 1:R + d + 1 + H], v1)
+    vy = (v0 + (v1 - v0) * wy).astype(chw.dtype)
 
     # horizontal pass on the vertically-lerped field
-    padh = jnp.pad(vy, ((0, 0), (0, 0), (R, R + 1), (0, 0)), mode="edge")
-    h0 = padh[:, :, R:R + W]
-    h1 = padh[:, :, R + 1:R + 1 + W]
+    padh = jnp.pad(vy, ((0, 0), (0, 0), (0, 0), (R, R + 1)), mode="edge")
+    h0 = padh[..., R:R + W]
+    h1 = padh[..., R + 1:R + 1 + W]
     for d in range(-R, R + 1):
         if d == 0:
             continue
         m = dx == d
-        h0 = jnp.where(m, padh[:, :, R + d:R + d + W], h0)
-        h1 = jnp.where(m, padh[:, :, R + d + 1:R + d + 1 + W], h1)
+        h0 = jnp.where(m, padh[..., R + d:R + d + W], h0)
+        h1 = jnp.where(m, padh[..., R + d + 1:R + d + 1 + W], h1)
     return h0 + (h1 - h0) * wx
 
 
@@ -214,7 +233,23 @@ def gaussian_volume(x: jax.Array, sigma0: float, num_levels: int) -> jax.Array:
     return jnp.stack(vol, axis=1)
 
 
-def scale_space_warp(volume: jax.Array, flow: jax.Array, scale: jax.Array) -> jax.Array:
+def _ssf_coords(volume_shape, flow, scale):
+    """Clipped float source coordinates of the SSF 3-D grid_sample
+    (align_corners=False, border): px/py [B,H,W] shared by every depth slice,
+    pz [B,H,W]."""
+    _, D, H, W, _ = volume_shape
+    j = jnp.arange(W, dtype=flow.dtype)[None, None, :]
+    i = jnp.arange(H, dtype=flow.dtype)[None, :, None]
+    gx = (2.0 * j + 1.0) / W - 1.0 + flow[..., 0]
+    gy = (2.0 * i + 1.0) / H - 1.0 + flow[..., 1]
+    px = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1.0)
+    py = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1.0)
+    pz = jnp.clip(((scale + 1.0) * D - 1.0) * 0.5, 0.0, D - 1.0)
+    return px, py, pz
+
+
+def scale_space_warp(volume: jax.Array, flow: jax.Array, scale: jax.Array, *,
+                     method: str | None = None) -> jax.Array:
     """Trilinear lookup into scale-space `volume` [B,D,H,W,C].
 
     flow:  [B,H,W,2] normalized offsets added to the [-1,1] base grid (SSF keeps
@@ -223,16 +258,18 @@ def scale_space_warp(volume: jax.Array, flow: jax.Array, scale: jax.Array) -> ja
 
     grid_sample(align_corners=False, border) 3-D semantics: depth handled as a
     lerp between two bilinear slice samples.
-    """
+
+    Default implementation ("window"): the flow is SHARED across depth slices,
+    so the volume is sampled as one batched windowed warp over [B*D] slices
+    (fvc.ops.warp._window_sample_chw — the TPU-fast path) followed by a
+    per-pixel depth select+lerp over the D (small) slices. "gather" keeps the
+    take_along_axis formulation for parity testing (same clamp math; the
+    window path additionally clamps displacements to the warp radius)."""
+    method = method or _WARP_METHOD
+    if method == "window":
+        return _scale_space_warp_window(volume, flow, scale, _WARP_RADIUS)
     B, D, H, W, C = volume.shape
-    j = jnp.arange(W, dtype=flow.dtype)[None, None, :]
-    i = jnp.arange(H, dtype=flow.dtype)[None, :, None]
-    # base grid in normalized coords (align_corners=False unnormalize)
-    gx = (2.0 * j + 1.0) / W - 1.0 + flow[..., 0]
-    gy = (2.0 * i + 1.0) / H - 1.0 + flow[..., 1]
-    px = jnp.clip(((gx + 1.0) * W - 1.0) * 0.5, 0.0, W - 1.0)
-    py = jnp.clip(((gy + 1.0) * H - 1.0) * 0.5, 0.0, H - 1.0)
-    pz = jnp.clip(((scale + 1.0) * D - 1.0) * 0.5, 0.0, D - 1.0)
+    px, py, pz = _ssf_coords(volume.shape, flow, scale)
 
     z0 = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, D - 1)
     z1 = jnp.minimum(z0 + 1, D - 1)
@@ -264,3 +301,37 @@ def scale_space_warp(volume: jax.Array, flow: jax.Array, scale: jax.Array) -> ja
     near = sample_at(z0)
     far = sample_at(z1)
     return near + (far - near) * wz
+
+
+def _scale_space_warp_window(volume: jax.Array, flow: jax.Array,
+                             scale: jax.Array, radius: int) -> jax.Array:
+    """TPU-fast scale_space_warp: one batched windowed spatial sample over the
+    B*D depth slices (the flow is depth-independent), then a per-pixel depth
+    select + lerp over the D slices (D is small: num_levels+1)."""
+    from fvc.core.policy import compute_dtype
+
+    B, D, H, W, C = volume.shape
+    dt = compute_dtype()
+    if dt is not None and volume.dtype != dt:
+        volume = volume.astype(dt)
+    flow = flow.astype(jnp.float32)
+    scale = scale.astype(jnp.float32)
+    px, py, pz = _ssf_coords(volume.shape, flow, scale)
+
+    # [B,D,H,W,C] -> [B*D,C,H,W]; coords broadcast over the depth axis
+    chw = volume.transpose(0, 1, 4, 2, 3).reshape(B * D, C, H, W)
+    pxd = jnp.broadcast_to(px[:, None], (B, D, H, W)).reshape(B * D, H, W)
+    pyd = jnp.broadcast_to(py[:, None], (B, D, H, W)).reshape(B * D, H, W)
+    warped = _window_sample_chw(chw, pxd, pyd, radius)
+    warped = warped.reshape(B, D, C, H, W)
+
+    z0 = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, D - 1)[:, None]  # [B,1,H,W]
+    wz = (pz[:, None] - z0.astype(jnp.float32)).astype(warped.dtype)
+    near = warped[:, 0]
+    far = warped[:, min(1, D - 1)]
+    for zi in range(1, D):
+        m = z0 == zi
+        near = jnp.where(m, warped[:, zi], near)
+        far = jnp.where(m, warped[:, min(zi + 1, D - 1)], far)
+    out = near + (far - near) * wz
+    return out.transpose(0, 2, 3, 1)

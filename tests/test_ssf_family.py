@@ -161,3 +161,42 @@ def test_mcvc_ctx_context_entropy():
     # context params exist
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
     assert any("context_model" in str(p) for p, _ in flat)
+
+
+def test_scale_space_warp_window_matches_gather_translational():
+    # Window scale_space_warp is exact vs the gather formulation for
+    # translational flow within the radius (same contract as flow_warp).
+    import numpy as np
+
+    from fvc.ops.warp import gaussian_volume, scale_space_warp
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 24, 32, 3).astype(np.float32))
+    vol = gaussian_volume(x, 1.5, 4)
+    scale = jnp.asarray(rng.rand(2, 24, 32).astype(np.float32) * 2 - 1)
+    for ux, uy in [(0.0, 0.0), (0.07, -0.04), (-0.11, 0.02)]:
+        flow = jnp.stack([jnp.full((2, 24, 32), ux),
+                          jnp.full((2, 24, 32), uy)], axis=-1)
+        a = np.asarray(scale_space_warp(vol, flow, scale, method="window"))
+        b = np.asarray(scale_space_warp(vol, flow, scale, method="gather"))
+        np.testing.assert_allclose(a, b, atol=5e-6)
+
+
+def test_scale_space_warp_window_differentiable():
+    import numpy as np
+
+    from fvc.ops.warp import gaussian_volume, scale_space_warp
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    vol = gaussian_volume(x, 1.5, 3)
+
+    def loss(flow, scale):
+        return jnp.mean(scale_space_warp(vol, flow, scale) ** 2)
+
+    flow = jnp.zeros((1, 16, 16, 2)) + 0.01
+    scale = jnp.zeros((1, 16, 16)) - 0.5
+    gf, gs = jax.grad(loss, argnums=(0, 1))(flow, scale)
+    assert np.isfinite(np.asarray(gf)).all()
+    assert np.isfinite(np.asarray(gs)).all()
+    assert float(jnp.max(jnp.abs(gs))) > 0.0
