@@ -41,8 +41,18 @@ def _linear_weights(out_size: int, in_size: int, align_corners: bool):
 
 def bilinear_resize(x: jax.Array, out_h: int, out_w: int, *, align_corners: bool) -> jax.Array:
     """Bilinear resize matching torch.nn.functional.interpolate bit-for-bit in
-    both align_corners conventions. Separable: gather+lerp per axis."""
+    both align_corners conventions. Integer upscale factors with
+    align_corners=False take the gather-free shift+interleave path
+    (_axis_upsample_k, the TPU-fast formulation); everything else is the
+    general separable gather+lerp."""
     _, h, w, _ = x.shape
+    if (not align_corners and out_h % h == 0 and out_w % w == 0
+            and (out_h > h or out_w > w)):
+        if out_h > h:
+            x = _axis_upsample_k(x, 1, out_h // h, False)
+        if out_w > w:
+            x = _axis_upsample_k(x, 2, out_w // w, False)
+        return x
     lo_h, hi_h, fh = _linear_weights(out_h, h, align_corners)
     lo_w, hi_w, fw = _linear_weights(out_w, w, align_corners)
     # lerp weights ride the activation dtype so bf16 streams stay bf16
@@ -58,32 +68,36 @@ def bilinear_resize(x: jax.Array, out_h: int, out_w: int, *, align_corners: bool
     return left + (right - left) * fw[None, None, :, None]
 
 
-def _axis_upsample2(x: jax.Array, axis: int, align_corners: bool) -> jax.Array:
-    """Exact 2x linear upsample along `axis` WITHOUT gathers.
+def _axis_upsample_k(x: jax.Array, axis: int, k: int,
+                     align_corners: bool) -> jax.Array:
+    """Exact integer-factor linear upsample along `axis` WITHOUT gathers.
 
     TPU note: XLA lowers jnp.take to a gather that runs ~6-10x below HBM
     bandwidth on v5e (measured scripts/microbench_up2.py: 11 ms for one
-    640x960x64 upsample vs ~2 ms for shift+select). For the fixed 2x ratio the
-    source row of output j is always j//2 + d with d in {-1, 0} (both
-    align_corners conventions), so the lerp operands are just edge-padded
-    shifts of x selected by a static per-phase mask — pure streaming ops XLA
-    fuses — followed by a phase interleave (one relayout).
+    640x960x64 2x upsample vs ~2 ms for shift+select). For a fixed integer
+    ratio k the source row of output j is always j//k + d with d in {-1, 0}
+    (align_corners=False: pos = (j+.5)/k - .5 deviates from j//k by at most
+    .5 - .5/k; align_corners=True at k=2: pos = j(n-1)/(2n-1) in
+    [j/2 - .5, j/2]), so the lerp operands are just edge-padded shifts of x
+    selected by a static per-phase mask — pure streaming ops XLA fuses —
+    followed by a k-phase interleave (one relayout).
     """
+    assert k == 2 or not align_corners, "align_corners path only needs k=2"
     n = x.shape[axis]
+    m = k * n
     # numpy twin of _linear_weights (static shapes; jit-safe constants) —
     # computed in float32 to match the jnp path (and torch) bit-for-bit
-    if align_corners and 2 * n > 1:
-        pos = np.arange(2 * n, dtype=np.float32) * np.float32(
-            (n - 1) / (2 * n - 1))
+    if align_corners and m > 1:
+        pos = np.arange(m, dtype=np.float32) * np.float32((n - 1) / (m - 1))
     else:
         pos = np.clip(
-            (np.arange(2 * n, dtype=np.float32) + np.float32(0.5))
-            * np.float32(0.5) - np.float32(0.5),
+            (np.arange(m, dtype=np.float32) + np.float32(0.5))
+            * np.float32(n / m) - np.float32(0.5),
             np.float32(0.0), np.float32(n - 1)).astype(np.float32)
     lo = np.clip(np.floor(pos).astype(np.int64), 0, n - 1)
     frac = (pos - lo).astype(np.float32)
-    d = lo - np.arange(2 * n) // 2
-    assert d.min() >= -1 and d.max() <= 0, "2x upsample window exceeded"
+    d = lo - np.arange(m) // k
+    assert d.min() >= -1 and d.max() <= 0, "upsample window exceeded"
 
     def shift(v, delta):
         # v[i] -> v[clip(i+delta)]: edge-replicated static shift along axis
@@ -106,17 +120,17 @@ def _axis_upsample2(x: jax.Array, axis: int, align_corners: bool) -> jax.Array:
         return jnp.asarray(arr).reshape(sh)
 
     phases = []
-    for p in (0, 1):
-        dp = d[p::2]
-        fp = frac[p::2].astype(np.float32)
-        m = bshape(dp == -1)
-        lo_val = jnp.where(m, x_m1, x)
-        hi_val = jnp.where(m, x, x_p1)
+    for p in range(k):
+        dp = d[p::k]
+        fp = frac[p::k].astype(np.float32)
+        mask = bshape(dp == -1)
+        lo_val = jnp.where(mask, x_m1, x)
+        hi_val = jnp.where(mask, x, x_p1)
         f = bshape(fp).astype(x.dtype)
         phases.append(lo_val + (hi_val - lo_val) * f)
-    y = jnp.stack(phases, axis=axis + 1)  # [.., n, 2, ..]
+    y = jnp.stack(phases, axis=axis + 1)  # [.., n, k, ..]
     sh = list(x.shape)
-    sh[axis] = 2 * n
+    sh[axis] = m
     return y.reshape(sh)
 
 
@@ -124,5 +138,5 @@ def upsample2x(x: jax.Array, *, align_corners: bool = False) -> jax.Array:
     """2x bilinear upsample (`bilinearupsacling` / `bilinearupsacling2`),
     matching torch F.interpolate bit-for-bit in both conventions (tested
     against the take-based `bilinear_resize`, itself torch-golden)."""
-    y = _axis_upsample2(x, 1, align_corners)
-    return _axis_upsample2(y, 2, align_corners)
+    y = _axis_upsample_k(x, 1, 2, align_corners)
+    return _axis_upsample_k(y, 2, 2, align_corners)

@@ -119,3 +119,219 @@ def bd_psnr(r1, p1, r2, p2) -> float:
     i1 = _pchip_integrate(lr1, p1, lo, hi)
     i2 = _pchip_integrate(lr2, p2, lo, hi)
     return float((i2 - i1) / (hi - lo))
+
+
+def init_family_variables(codec_name: str, model, gop0, *, num_views: int = 1,
+                          seed: int = 0):
+    """Shape-correct variable init per codec family (each family has its own
+    forward signature — the reference's design wart, SURVEY §1 L4->L3)."""
+    key = jax.random.PRNGKey(seed)
+    x = jnp.asarray(gop0)
+    if codec_name.startswith("LSVC"):
+        return model.init(key, x, training=False)
+    if codec_name in ("DVC", "RLVC", "RLVC2"):
+        H, W = x.shape[1], x.shape[2]
+        state = model.init_state(1, H, W)
+        return model.init(key, x[0][None], x[1][None], state, False,
+                          training=False)
+    if codec_name.startswith("SSF"):
+        return model.init(key, x[1][None], x[0][None], training=False,
+                          method=model.init_all)
+    if codec_name.startswith("ELFVC"):
+        H, W = x.shape[1], x.shape[2]
+        state = model.init_state(1, H, W)
+        return model.init(key, x[1][None], x[0][None], state, training=False)
+    if codec_name.startswith("MCVC"):
+        frames = x[:2, None]  # [G=2, V=1, H, W, 3]
+        mask = jnp.ones((num_views,), jnp.float32)
+        return model.init(key, jnp.tile(frames, (1, num_views, 1, 1, 1)),
+                          mask, training=False)
+    raise ValueError(codec_name)
+
+
+def eval_family_on_gops(codec_name: str, model, variables, gops, *,
+                        real_bits: bool = False):
+    """Per-GOP evaluation for every codec family — the reference
+    static_simulation_model / parallel_compression family dispatch
+    (eval.py:254-354, models.py:260-410) behind one uniform result schema:
+    [{bpp, psnr, psnr_list, time_per_frame[, bpp_act]}].
+
+    Conventions per family (matching each family's bitstream codec):
+    - LSVC/DVC/RLVC/ELFVC: frame 0 is a given I-frame; bpp normalized by
+      P-frame pixels.
+    - SSF/MCVC: the keyframe is learned and coded (reference models.py:2310);
+      bpp/psnr cover all frames.
+    """
+    from fvc.ops.math import bits_from_likelihood, psnr_per_frame
+
+    name = codec_name
+    if name.startswith("LSVC"):
+        results = eval_lsvc_on_gops(model, variables, gops)
+        if real_bits:
+            from fvc.models.bitstream import LSVCBitstreamCodec
+            codec = LSVCBitstreamCodec(model, variables)
+            for g, r in zip(gops, results):
+                streams, info = codec.compress(np.asarray(g))
+                T, H, W = g.shape[0] - 1, g.shape[1], g.shape[2]
+                r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
+        return results
+
+    results = []
+    if name in ("DVC", "RLVC", "RLVC2"):
+        from fvc.gop.engine import code_gop_scan
+
+        H, W = gops[0].shape[1], gops[0].shape[2]
+        state0 = model.init_state(1, H, W)
+
+        def apply_fn(params, x_ref, x_cur, st, flag, *, training, rng):
+            return model.apply(params, x_ref, x_cur, st, flag,
+                               training=training, rng=rng)
+
+        @jax.jit
+        def run(v, frames):
+            recons, outs = code_gop_scan(apply_fn, v, frames, state0,
+                                         training=False)
+            return outs["bpp_est"], outs["psnr"]
+
+        codec = None
+        if real_bits:
+            if name == "DVC":
+                from fvc.models.bitstream_dvc import DVCBitstreamCodec
+                codec = DVCBitstreamCodec(model, variables)
+            else:
+                from fvc.models.bitstream_rlvc import RLVCBitstreamCodec
+                codec = RLVCBitstreamCodec(model, variables)
+        for g in gops:
+            frames = jnp.asarray(g)[:, None]
+            t0 = time.perf_counter()
+            bpps, psnrs = run(variables, frames)
+            jax.block_until_ready(psnrs)
+            dt = time.perf_counter() - t0
+            r = {"bpp": float(jnp.mean(bpps)), "psnr": float(jnp.mean(psnrs)),
+                 "psnr_list": np.asarray(psnrs).tolist(),
+                 "time_per_frame": dt / (g.shape[0] - 1)}
+            if codec is not None:
+                streams, _ = codec.compress(np.asarray(frames))
+                r["bpp_act"] = codec.num_bits(streams) / (
+                    (g.shape[0] - 1) * H * W)
+            results.append(r)
+        return results
+
+    if name.startswith("SSF"):
+        @jax.jit
+        def key_run(v, x0):
+            x0_hat, lk = model.apply(v, x0, training=False,
+                                     method=model.forward_keyframe)
+            bits = (bits_from_likelihood(lk["keyframe"]["y"])
+                    + bits_from_likelihood(lk["keyframe"]["z"]))
+            return x0_hat, bits
+
+        @jax.jit
+        def inter_run(v, x_cur, x_ref):
+            from fvc.models.ssf import inter_bpp_est
+            x_rec, lk = model.apply(v, x_cur, x_ref, training=False)
+            bpp, _ = inter_bpp_est(lk, 1, 1, 1)  # raw bits (denom 1)
+            return x_rec, bpp
+
+        codec = None
+        if real_bits:
+            from fvc.models.bitstream_ssf import SSFBitstreamCodec
+            codec = SSFBitstreamCodec(model, variables)
+        for g in gops:
+            x = jnp.asarray(g)
+            T, H, W = x.shape[0], x.shape[1], x.shape[2]
+            t0 = time.perf_counter()
+            x_ref, bits = key_run(variables, x[0][None])
+            recs = [x_ref[0]]
+            for t in range(1, T):
+                x_ref, b = inter_run(variables, x[t][None], x_ref)
+                recs.append(x_ref[0])
+                bits = bits + b
+            jax.block_until_ready(x_ref)
+            dt = time.perf_counter() - t0
+            psnrs = psnr_per_frame(x, jnp.stack(recs))
+            r = {"bpp": float(bits) / (T * H * W),
+                 "psnr": float(jnp.mean(psnrs[1:])),
+                 "psnr_list": np.asarray(psnrs).tolist(),
+                 "time_per_frame": dt / T}
+            if codec is not None:
+                streams, _ = codec.compress(np.asarray(x)[:, None])
+                r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
+            results.append(r)
+        return results
+
+    if name.startswith("ELFVC"):
+        from fvc.models.ssf import inter_bpp_est
+
+        H, W = gops[0].shape[1], gops[0].shape[2]
+        state0 = model.init_state(1, H, W)
+
+        @jax.jit
+        def inter_run(v, x_cur, x_ref, st):
+            x_rec, new_st, lk = model.apply(v, x_cur, x_ref, st,
+                                            training=False)
+            bpp, _ = inter_bpp_est(lk, 1, 1, 1)
+            return x_rec, new_st, bpp
+
+        codec = None
+        if real_bits:
+            from fvc.models.bitstream_elfvc import ELFVCBitstreamCodec
+            codec = ELFVCBitstreamCodec(model, variables)
+        for g in gops:
+            x = jnp.asarray(g)
+            T = x.shape[0]
+            st = state0
+            x_ref = x[0][None]
+            recs = []
+            bits = 0.0
+            t0 = time.perf_counter()
+            for t in range(1, T):
+                x_ref, st, b = inter_run(variables, x[t][None], x_ref, st)
+                recs.append(x_ref[0])
+                bits = bits + b
+            jax.block_until_ready(x_ref)
+            dt = time.perf_counter() - t0
+            psnrs = psnr_per_frame(x[1:], jnp.stack(recs))
+            r = {"bpp": float(bits) / ((T - 1) * H * W),
+                 "psnr": float(jnp.mean(psnrs)),
+                 "psnr_list": np.asarray(psnrs).tolist(),
+                 "time_per_frame": dt / (T - 1)}
+            if codec is not None:
+                streams, _ = codec.compress(np.asarray(x)[:, None])
+                r["bpp_act"] = codec.num_bits(streams) / ((T - 1) * H * W)
+            results.append(r)
+        return results
+
+    if name.startswith("MCVC"):
+        from fvc.models.mcvc import mcvc_gop_metrics
+
+        mask = jnp.ones((1,), jnp.float32)
+
+        @jax.jit
+        def run(v, frames):
+            out = model.apply(v, frames, mask, training=False)
+            return out
+
+        codec = None
+        if real_bits:
+            from fvc.models.bitstream_mcvc import MCVCBitstreamCodec
+            codec = MCVCBitstreamCodec(model, variables)
+        for g in gops:
+            frames = jnp.asarray(g)[:, None]  # views = 1
+            T, H, W = g.shape[0], g.shape[1], g.shape[2]
+            t0 = time.perf_counter()
+            out = run(variables, frames)
+            jax.block_until_ready(out["x_hat"])
+            dt = time.perf_counter() - t0
+            m = mcvc_gop_metrics(frames, out, model.config)
+            psnrs = psnr_per_frame(frames[:, 0], out["x_hat"][:, 0])
+            r = {"bpp": float(m["bpp_est"]), "psnr": float(m["psnr"]),
+                 "psnr_list": np.asarray(psnrs).tolist(),
+                 "time_per_frame": dt / T}
+            if codec is not None:
+                streams, _ = codec.compress(np.asarray(frames), np.ones((1,)))
+                r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
+            results.append(r)
+        return results
+
+    raise ValueError(f"unknown codec family: {name}")

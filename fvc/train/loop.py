@@ -50,13 +50,26 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
     loss_fn = lsvc_loss_fn(model, cfg, bf16=bf16)
     step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, donate=False)
 
+    # Device-resident data pool: per-step host->device transfers through the
+    # axon tunnel leak the transfer buffer host-side (observed: 130 GB RSS
+    # after 19k steps of 4.7 MB batches -> OOM kill). For small datasets
+    # (synthetic pools, OLFT windows) upload once and gather on device.
+    data_dev = None
+    if mesh is None and len(dataset) * (gop + 1) * np.prod(
+            dataset[0].shape[1:]) * 4 < 2e9:
+        data_dev = jnp.asarray(
+            np.stack([dataset[i][: gop + 1] for i in range(len(dataset))]))
+
     history = []
     for step in range(steps):
         idx = rng.randint(0, len(dataset), batch_size)
-        batch = np.stack([dataset[i][: gop + 1] for i in idx])
-        batch = jnp.asarray(batch)
-        if mesh is not None:
-            batch = jax.device_put(batch, frames_spec(mesh))
+        if data_dev is not None:
+            batch = data_dev[jnp.asarray(idx)]
+        else:
+            batch = jnp.asarray(
+                np.stack([dataset[i][: gop + 1] for i in idx]))
+            if mesh is not None:
+                batch = jax.device_put(batch, frames_spec(mesh))
         variables, opt_state, metrics = step_fn(
             variables, opt_state, batch, jax.random.PRNGKey(seed + 2 + step))
         if step % log_every == 0 or step == steps - 1:

@@ -29,10 +29,15 @@ def main():
     ap.add_argument("--real-bits", action="store_true")
     ap.add_argument("--preset", default="veryslow")
     ap.add_argument("--crf", type=int, default=23)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon site hook routes to "
+                         "the TPU tunnel by default)")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     # ---- gather GOPs ----
@@ -63,35 +68,36 @@ def main():
                           "psnr": float(np.mean([r["psnr"] for r in rows]))}))
         return
 
-    # ---- learned codecs ----
+    # ---- learned codecs (family dispatch, reference eval.py:254-354) ----
     from fvc.models.registry import get_codec_model
-    from fvc.train.evaluate import eval_lsvc_on_gops, write_eval_log
+    from fvc.train.evaluate import (
+        eval_family_on_gops, eval_lsvc_on_gops, init_family_variables,
+        write_eval_log)
 
-    model, cfg = get_codec_model(args.codec, compression_level=args.level)
-    import jax.numpy as jnp
+    extra = {"num_views": 1} if args.codec.startswith("MCVC") else {}
+    model, cfg = get_codec_model(args.codec, compression_level=args.level,
+                                 **extra)
 
-    x0 = jnp.asarray(gops[0])
-    variables = model.init(jax.random.PRNGKey(0), x0, training=False)
+    variables = init_family_variables(args.codec, model, gops[0])
     if args.ckpt:
         from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
         path = latest_checkpoint(args.ckpt)
         if path:
             variables = restore_checkpoint(path, {"params": variables})["params"]
 
-    results = eval_lsvc_on_gops(model, variables, gops)
-    if args.real_bits:
-        if not args.codec.startswith("LSVC"):
-            raise SystemExit("--real-bits via this CLI supports LSVC; use the "
-                             "bitstream_{dvc,rlvc,ssf,elfvc,mcvc} codecs in "
-                             "fvc.models for the other families")
-        from fvc.models.bitstream import LSVCBitstreamCodec
-        codec = LSVCBitstreamCodec(model, variables)
+    if args.codec.startswith("LSVC") and args.real_bits:
         # software-pipelined: GOP n+1's device transform overlaps GOP n's
         # host rANS coding (bit-identical to sequential compress())
+        from fvc.models.bitstream import LSVCBitstreamCodec
+        results = eval_lsvc_on_gops(model, variables, gops)
+        codec = LSVCBitstreamCodec(model, variables)
         coded = codec.compress_pipelined([np.asarray(g) for g in gops])
         for g, r, (streams, info) in zip(gops, results, coded):
             T, H, W = g.shape[0] - 1, g.shape[1], g.shape[2]
             r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
+    else:
+        results = eval_family_on_gops(args.codec, model, variables, gops,
+                                      real_bits=args.real_bits)
     if args.log:
         write_eval_log(args.log, args.codec, args.data or "synthetic", results)
     print(json.dumps({

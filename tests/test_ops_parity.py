@@ -356,3 +356,18 @@ def test_upsample2x_shift_path_matches_take_path(align):
         b = np.asarray(bilinear_resize(x, 2 * shape[1], 2 * shape[2],
                                        align_corners=align))
         np.testing.assert_array_equal(a, b)
+
+
+def test_bilinear_resize_integer_factor_matches_torch():
+    # Integer upscale factors route through the gather-free phase path; they
+    # must still match torch F.interpolate exactly.
+    from fvc.ops import bilinear_resize
+
+    x = _rand((2, 6, 10, 3), 11)
+    for oh, ow in [(24, 40), (12, 10), (6, 30), (18, 20)]:
+        out = np.asarray(bilinear_resize(jnp.asarray(x), oh, ow,
+                                         align_corners=False))
+        ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), (oh, ow),
+                            mode="bilinear", align_corners=False)
+        np.testing.assert_allclose(out, ref.permute(0, 2, 3, 1).numpy(),
+                                   atol=1e-6)
