@@ -30,7 +30,8 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
                       gop: int = 5, learning_rate: float = 1e-4,
                       ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
                       log_every: int = 10, seed: int = 0,
-                      mesh=None, bf16: bool = False, init_params=None):
+                      mesh=None, bf16: bool = False, init_params=None,
+                      step_offset: int = 0):
     """Generic RD training over GOP clips. Returns (params, history).
     Model must be an LSVC-style module: apply(params, x[T,H,W,3], training, rng)
     -> (recon, out with rec_loss/bpp_est). IterPred models train through
@@ -74,16 +75,18 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
             variables, opt_state, batch, jax.random.PRNGKey(seed + 2 + step))
         if step % log_every == 0 or step == steps - 1:
             rec = {k: float(v) for k, v in metrics.items()}
-            rec["step"] = step
+            rec["step"] = step_offset + step
             history.append(rec)
             import json as _json
             import time as _time
             print(_json.dumps({"t": round(_time.time(), 1), **rec}),
                   flush=True)
         if ckpt_dir and (step + 1) % ckpt_every == 0:
-            save_checkpoint(ckpt_dir, step + 1, {"params": variables})
+            save_checkpoint(ckpt_dir, step_offset + step + 1,
+                            {"params": variables})
     if ckpt_dir:
-        save_checkpoint(ckpt_dir, steps, {"params": variables}, best=True)
+        save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables},
+                        best=True)
     return variables, history
 
 

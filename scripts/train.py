@@ -34,9 +34,15 @@ def main():
     ap.add_argument("--mesh-data", type=int, default=0)
     ap.add_argument("--mesh-spatial", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon site hook routes to "
+                         "the TPU tunnel by default)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
@@ -58,10 +64,15 @@ def main():
     print(f"training {args.codec} level={cfg.compression_level} "
           f"steps={args.steps} gop={args.gop}", flush=True)
     resume_params = None
+    step_offset = 0
     if args.resume:
         from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
         path = latest_checkpoint(args.resume)
         if path:
+            import os as _os
+            tag = _os.path.basename(path)
+            if tag.startswith("ckpt_"):
+                step_offset = int(tag.split("_")[1])
             import jax as _jax
             from fvc.data.datasets import SyntheticVideoDataset as _S
             probe = _S(1, frames=args.gop + 1, height=args.crop, width=args.crop)[0]
@@ -79,10 +90,12 @@ def main():
             model, cfg, ds, steps=args.steps, batch_size=args.batch,
             gop=args.gop, learning_rate=args.lr, ckpt_dir=args.ckpt,
             ckpt_every=args.ckpt_every, seed=args.seed, mesh=mesh,
-            bf16=args.bf16, init_params=resume_params)
+            bf16=args.bf16, init_params=resume_params,
+            step_offset=step_offset)
     if args.ckpt:
         from fvc.train.checkpoint import save_checkpoint
-        save_checkpoint(args.ckpt, args.steps, {"params": params}, best=True)
+        save_checkpoint(args.ckpt, step_offset + args.steps,
+                        {"params": params}, best=True)
     for h in history[-5:]:
         print(json.dumps(h))
 
