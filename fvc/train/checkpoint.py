@@ -38,6 +38,10 @@ def restore_checkpoint(path: str, reference: Any) -> Any:
 def latest_checkpoint(directory: str) -> Optional[str]:
     if not os.path.isdir(directory):
         return None
+    # the directory may itself BE an orbax checkpoint (exported/pretrained
+    # dirs like pretrained_lsvc_l2/) rather than a run dir of ckpt_N steps
+    if os.path.exists(os.path.join(directory, "_CHECKPOINT_METADATA")):
+        return directory
     best = os.path.join(directory, "best")
     cands = sorted(
         (d for d in os.listdir(directory) if d.startswith("ckpt_")),

@@ -93,7 +93,7 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
 def train_iterpred(model, cfg: CodecConfig, dataset, *,
                    steps: int = 100, gop: int = 4,
                    learning_rate: float = 1e-4, seed: int = 0,
-                   log_every: int = 10):
+                   log_every: int = 10, init_params=None):
     """DVC/RLVC trainer: scan-based GOP coding, reference loss
     (train.py:185-207: r*img_loss + bpp_est per frame, averaged)."""
     from fvc.gop.engine import code_gop_scan
@@ -101,7 +101,7 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
     rng = np.random.RandomState(seed)
     sample = jnp.asarray(dataset[0][: gop + 1])
     state0 = model.init_state(1, sample.shape[1], sample.shape[2])
-    variables = model.init(
+    variables = init_params if init_params is not None else model.init(
         jax.random.PRNGKey(seed), sample[0][None], sample[1][None], state0,
         False, training=True, rng=jax.random.PRNGKey(seed + 1))
     optimizer = make_optimizer(learning_rate, clip_norm=None)
@@ -287,6 +287,10 @@ def train_multiview_olft(model, cfg: CodecConfig, dataset, *,
 
     history = []
     for step in range(steps):
+        # NOTE: per-step H2D; fine for OLFT's bounded windows, but through the
+        # axon tunnel each transfer's host buffer is retained (see
+        # train_single_view's device-resident pool) — for >10k-step runs,
+        # stage the sampling pool on device.
         clip = dataset.sample()
         frames = jnp.asarray(clip.reshape(G, V, H, W, 3))
         mask = jnp.asarray(sample_view_mask(

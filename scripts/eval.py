@@ -82,8 +82,10 @@ def main():
     if args.ckpt:
         from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
         path = latest_checkpoint(args.ckpt)
-        if path:
-            variables = restore_checkpoint(path, {"params": variables})["params"]
+        if path is None:
+            raise SystemExit(f"--ckpt {args.ckpt}: no checkpoint found")
+        variables = restore_checkpoint(path, {"params": variables})["params"]
+        print(f"# restored {path}", file=sys.stderr)
 
     if args.codec.startswith("LSVC") and args.real_bits:
         # software-pipelined: GOP n+1's device transform overlaps GOP n's

@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--mesh-data", type=int, default=0)
     ap.add_argument("--mesh-spatial", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--spynet-npy", default=None,
+                    help="graft the reference's pretrained SpyNet .npy conv "
+                         "weights (DVC/flow_pretrain_np) into a fresh init — "
+                         "the reference trains with pretrained flow "
+                         "(endecoder.py:122-139); training from random flow "
+                         "risks the motion branch rate-collapsing to zero "
+                         "bits before the flow becomes useful")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon site hook routes to "
                          "the TPU tunnel by default)")
@@ -81,10 +88,33 @@ def main():
                              training=False)
             resume_params = restore_checkpoint(path, {"params": ref})["params"]
             print(f"resumed from {path}", flush=True)
+    if args.spynet_npy and resume_params is None:
+        import jax as _jax
+        import jax.numpy as _jnp
+        from fvc.data.datasets import SyntheticVideoDataset as _S
+        from fvc.ops.spynet import load_npy_weights
+
+        probe = _jnp.asarray(
+            _S(1, frames=args.gop + 1, height=args.crop, width=args.crop)[0])
+        if args.codec in ("DVC", "RLVC", "RLVC2"):
+            st = model.init_state(1, args.crop, args.crop)
+            fresh = model.init(_jax.random.PRNGKey(args.seed), probe[0][None],
+                               probe[1][None], st, False, training=False)
+        else:
+            fresh = model.init(_jax.random.PRNGKey(args.seed), probe,
+                               training=False)
+        import flax
+        fresh = flax.core.unfreeze(fresh)
+        fresh["params"]["optic_flow"] = load_npy_weights(
+            fresh["params"]["optic_flow"], args.spynet_npy)
+        resume_params = fresh
+        print(f"grafted pretrained SpyNet from {args.spynet_npy}", flush=True)
+
     if args.codec in ("DVC", "RLVC", "RLVC2"):
         params, history = train_iterpred(
             model, cfg, ds, steps=args.steps, gop=args.gop,
-            learning_rate=args.lr, seed=args.seed)
+            learning_rate=args.lr, seed=args.seed,
+            init_params=resume_params)
     else:
         params, history = train_single_view(
             model, cfg, ds, steps=args.steps, batch_size=args.batch,
