@@ -138,16 +138,20 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
 
 
 def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
-           learning_rate: float = 1e-5, encoder_only: bool = True, seed: int = 0):
+           learning_rate: float = 1e-5, encoder_only: bool = True, seed: int = 0,
+           init_params=None):
     """Per-video online adaptation (train.py:315-401 / eval.py:357-473
     '--evolve'): fine-tune on the video being coded; optionally restrict to
     encoder-side parameters (the decoder stays fixed so the bitstream remains
-    decodable by an unmodified receiver)."""
+    decodable by an unmodified receiver). `init_params` starts from a trained
+    checkpoint (the reference always evolves from a loaded model, eval.py:360)."""
     import jax.numpy as jnp
 
     x = jnp.asarray(clip[: gop + 1])
-    variables = model.init(jax.random.PRNGKey(seed), x, training=True,
-                           rng=jax.random.PRNGKey(seed + 1))
+    variables = init_params
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(seed), x, training=True,
+                               rng=jax.random.PRNGKey(seed + 1))
 
     if encoder_only:
         def label(path, _):

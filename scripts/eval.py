@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--log", default=None)
     ap.add_argument("--real-bits", action="store_true")
+    ap.add_argument("--evolve", type=int, default=0, metavar="STEPS",
+                    help="per-video online adaptation before coding "
+                         "(reference eval.py:357-473): fine-tune encoder-side "
+                         "params on each clip for STEPS steps, decoder fixed")
+    ap.add_argument("--evolve-lr", type=float, default=1e-5)
     ap.add_argument("--preset", default="veryslow")
     ap.add_argument("--crf", type=int, default=23)
     ap.add_argument("--cpu", action="store_true",
@@ -87,7 +92,24 @@ def main():
         variables = restore_checkpoint(path, {"params": variables})["params"]
         print(f"# restored {path}", file=sys.stderr)
 
-    if args.codec.startswith("LSVC") and args.real_bits:
+    if args.evolve:
+        # per-video online adaptation (reference eval.py:357-473): encoder-side
+        # fine-tune on the clip being coded, decoder fixed, then evaluate the
+        # adapted model on that clip only.
+        if not args.codec.startswith("LSVC"):
+            raise SystemExit("--evolve currently supports the LSVC family")
+        from fvc.train.loop import evolve as evolve_fn
+        results = []
+        for g in gops:
+            adapted, hist = evolve_fn(
+                model, cfg, np.asarray(g), steps=args.evolve,
+                gop=g.shape[0] - 1, learning_rate=args.evolve_lr,
+                init_params=variables)
+            print(f"# evolve loss {hist[0]:.3f} -> {hist[-1]:.3f}",
+                  file=sys.stderr)
+            results += eval_family_on_gops(args.codec, model, adapted, [g],
+                                           real_bits=args.real_bits)
+    elif args.codec.startswith("LSVC") and args.real_bits:
         # software-pipelined: GOP n+1's device transform overlaps GOP n's
         # host rANS coding (bit-identical to sequential compress())
         from fvc.models.bitstream import LSVCBitstreamCodec

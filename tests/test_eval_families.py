@@ -38,3 +38,28 @@ def test_eval_family_real_bits(name):
     # actual bits track the clamp estimate (entropy_models.py:434-459
     # invariant); generous bound since models are fresh-init
     assert abs(r["bpp_act"] - r["bpp"]) < max(0.3, 0.15 * r["bpp"])
+
+
+def test_evolve_from_checkpoint_encoder_only():
+    """eval.py --evolve semantics (reference eval.py:357-473): adaptation
+    starts from given params, trains only encoder-side weights (decoder +
+    CDF tables frozen so an unmodified receiver can still decode), and
+    reduces the RD loss on the clip."""
+    import jax
+
+    from fvc.train.loop import evolve
+
+    model, cfg = get_codec_model("LSVC", compression_level=2)
+    g = _gops(t=3)[0]
+    variables = init_family_variables("LSVC", model, g)
+    adapted, hist = evolve(model, cfg, g, steps=3, gop=2,
+                           learning_rate=1e-3, init_params=variables)
+    assert hist[-1] < hist[0]
+    leaf_delta = jax.tree_util.tree_flatten_with_path(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+        variables, adapted))[0]
+    changed = {"".join(str(p) for p in path) for path, d in leaf_delta if d > 0}
+    assert changed  # something trained
+    for key in changed:  # nothing decoder-side moved
+        assert not any(s in key for s in
+                       ("decoder", "bit_estimator", "warpnet")), key
