@@ -31,7 +31,7 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
                       ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
                       log_every: int = 10, seed: int = 0,
                       mesh=None, bf16: bool = False, init_params=None,
-                      step_offset: int = 0):
+                      step_offset: int = 0, stage: str = "REC"):
     """Generic RD training over GOP clips. Returns (params, history).
     Model must be an LSVC-style module: apply(params, x[T,H,W,3], training, rng)
     -> (recon, out with rec_loss/bpp_est). IterPred models train through
@@ -48,7 +48,7 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
     optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = optimizer.init(variables)
 
-    loss_fn = lsvc_loss_fn(model, cfg, bf16=bf16)
+    loss_fn = lsvc_loss_fn(model, cfg, bf16=bf16, stage=stage)
     step_fn = make_train_step(loss_fn, optimizer, mesh=mesh, donate=False)
 
     # Device-resident data pool: per-step host->device transfers through the

@@ -39,14 +39,22 @@ def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.0,
     return optax.chain(*tx)
 
 
-def lsvc_loss_fn(model, cfg: CodecConfig, *, bf16: bool = False):
+def lsvc_loss_fn(model, cfg: CodecConfig, *, bf16: bool = False,
+                 stage: str = "REC"):
     """Rate-distortion loss for a batch of GOPs: frames [B, T, H, W, 3]
     (T = GOP+1 incl. the reconstructed I-frame). Stage weighting follows
     init_training_params defaults (r_img = r_bpp = 1, stage REC).
 
+    `stage` mirrors the reference's model.stage knob (models.py:70,1408):
+    - 'WP':  distortion = warp loss; residual rate detached (only the
+             flow/mv branch trains).
+    - 'MC':  distortion = motion-compensation loss; residual rate detached.
+    - 'REC': full RD objective (the reference's operating default).
+
     bf16=True runs the transform stacks under the bf16 activation policy
     (entropy/metric math stays f32 — fvc.core.policy); the TPU analogue of the
     reference's AMP training, no loss scaling needed."""
+    assert stage in ("WP", "MC", "REC"), stage
 
     def loss_fn(params, frames, rng):
         from fvc.core.policy import bf16_compute, compute_in
@@ -55,7 +63,12 @@ def lsvc_loss_fn(model, cfg: CodecConfig, *, bf16: bool = False):
             ctx = bf16_compute() if bf16 else compute_in(None)
             with ctx:
                 _, out = model.apply(params, x, training=True, rng=r)
-            return (cfg.rate_lambda * out["rec_loss"] + out["bpp_est"], out)
+            if stage == "REC":
+                dist, rate = out["rec_loss"], out["bpp_est"]
+            else:  # WP/MC: residual rate detached, models.py:1408
+                dist = out["warp_loss"] if stage == "WP" else out["mc_loss"]
+                rate = out["bpp_mv"] + jax.lax.stop_gradient(out["bpp_res"])
+            return (cfg.rate_lambda * dist + rate, out)
 
         rngs = jax.random.split(rng, frames.shape[0])
         losses, outs = jax.vmap(per_gop)(frames, rngs)

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--ckpt-every", type=int, default=5000)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--stage", default="REC", choices=["WP", "MC", "REC"],
+                    help="training stage (reference models.py:70,1408): "
+                         "WP/MC pretrain the flow/MC branch with the "
+                         "residual rate detached; REC is the full RD loss")
     ap.add_argument("--resume", default=None,
                     help="checkpoint dir to restore params from before training")
     ap.add_argument("--mesh-data", type=int, default=0)
@@ -121,7 +125,7 @@ def main():
             gop=args.gop, learning_rate=args.lr, ckpt_dir=args.ckpt,
             ckpt_every=args.ckpt_every, seed=args.seed, mesh=mesh,
             bf16=args.bf16, init_params=resume_params,
-            step_offset=step_offset)
+            step_offset=step_offset, stage=args.stage)
     if args.ckpt:
         from fvc.train.checkpoint import save_checkpoint
         save_checkpoint(args.ckpt, step_offset + args.steps,

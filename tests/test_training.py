@@ -134,3 +134,31 @@ def test_lsvc_stage_times_smoke():
     times = lsvc_stage_times(model, variables, x, iters=2)
     assert set(times) == {"E-FL", "E-MV", "D-MV", "E-MC", "D-MC", "E-RES", "D-RES"}
     assert all(t > 0 for t in times.values())
+
+
+def test_stage_wp_trains_only_motion_branch():
+    """models.py:1408: in WP/MC stages the residual rate is detached, so the
+    residual codec gets no gradient; the flow/mv branch does."""
+    import jax.numpy as jnp
+
+    from fvc.models.registry import get_codec_model
+    from fvc.train.step import lsvc_loss_fn
+
+    model, cfg = get_codec_model("LSVC", compression_level=2)
+    frames = jnp.asarray(
+        np.random.RandomState(0).rand(1, 3, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), frames[0], training=True,
+                           rng=jax.random.PRNGKey(1))
+    loss_fn = lsvc_loss_fn(model, cfg, stage="WP")
+    grads = jax.grad(lambda p: loss_fn(p, frames, jax.random.PRNGKey(2))[0])(
+        variables)
+
+    def max_abs(tree):
+        return max(float(jnp.abs(g).max())
+                   for g in jax.tree_util.tree_leaves(tree))
+
+    g = grads["params"]
+    assert max_abs(g["optic_flow"]) > 0
+    assert max_abs(g["mv_encoder"]) > 0
+    assert max_abs(g["res_encoder"]) == 0
+    assert max_abs(g["res_decoder"]) == 0
