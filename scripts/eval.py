@@ -25,6 +25,14 @@ def main():
     ap.add_argument("--gop", type=int, default=16)
     ap.add_argument("--max-gops", type=int, default=4)
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--levels", type=int, nargs="+", default=None,
+                    help="RD sweep over compression levels in one run "
+                         "(reference eval.py --level_range); prints one JSON "
+                         "line per level plus a final rd_curve line")
+    ap.add_argument("--ckpt-pattern", default=None, metavar="PAT",
+                    help="per-level checkpoint dir with a {level} placeholder, "
+                         "e.g. ckpts/lsvc_l{level} (reference LoadModel "
+                         "filename waterfall, eval.py:37-88)")
     ap.add_argument("--log", default=None)
     ap.add_argument("--real-bits", action="store_true")
     ap.add_argument("--evolve", type=int, default=0, metavar="STEPS",
@@ -79,59 +87,85 @@ def main():
         eval_family_on_gops, eval_lsvc_on_gops, init_family_variables,
         write_eval_log)
 
-    extra = {"num_views": 1} if args.codec.startswith("MCVC") else {}
-    model, cfg = get_codec_model(args.codec, compression_level=args.level,
-                                 **extra)
+    def eval_one_level(level, ckpt_dir):
+        extra = {"num_views": 1} if args.codec.startswith("MCVC") else {}
+        model, cfg = get_codec_model(args.codec, compression_level=level,
+                                     **extra)
 
-    variables = init_family_variables(args.codec, model, gops[0])
-    if args.ckpt:
-        from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
-        path = latest_checkpoint(args.ckpt)
-        if path is None:
-            raise SystemExit(f"--ckpt {args.ckpt}: no checkpoint found")
-        variables = restore_checkpoint(path, {"params": variables})["params"]
-        print(f"# restored {path}", file=sys.stderr)
+        variables = init_family_variables(args.codec, model, gops[0])
+        if ckpt_dir:
+            from fvc.train.checkpoint import (latest_checkpoint,
+                                              restore_checkpoint)
+            path = latest_checkpoint(ckpt_dir)
+            if path is None:
+                raise SystemExit(f"--ckpt {ckpt_dir}: no checkpoint found")
+            variables = restore_checkpoint(path, {"params": variables})["params"]
+            print(f"# restored {path}", file=sys.stderr)
 
-    if args.evolve:
-        # per-video online adaptation (reference eval.py:357-473): encoder-side
-        # fine-tune on the clip being coded, decoder fixed, then evaluate the
-        # adapted model on that clip only.
-        if not args.codec.startswith("LSVC"):
-            raise SystemExit("--evolve currently supports the LSVC family")
-        from fvc.train.loop import evolve as evolve_fn
-        results = []
-        for g in gops:
-            adapted, hist = evolve_fn(
-                model, cfg, np.asarray(g), steps=args.evolve,
-                gop=g.shape[0] - 1, learning_rate=args.evolve_lr,
-                init_params=variables)
-            print(f"# evolve loss {hist[0]:.3f} -> {hist[-1]:.3f}",
-                  file=sys.stderr)
-            results += eval_family_on_gops(args.codec, model, adapted, [g],
-                                           real_bits=args.real_bits)
-    elif args.codec.startswith("LSVC") and args.real_bits:
-        # software-pipelined: GOP n+1's device transform overlaps GOP n's
-        # host rANS coding (bit-identical to sequential compress())
-        from fvc.models.bitstream import LSVCBitstreamCodec
-        results = eval_lsvc_on_gops(model, variables, gops)
-        codec = LSVCBitstreamCodec(model, variables)
-        coded = codec.compress_pipelined([np.asarray(g) for g in gops])
-        for g, r, (streams, info) in zip(gops, results, coded):
-            T, H, W = g.shape[0] - 1, g.shape[1], g.shape[2]
-            r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
+        if args.evolve:
+            # per-video online adaptation (reference eval.py:357-473):
+            # encoder-side fine-tune on the clip being coded, decoder fixed,
+            # then evaluate the adapted model on that clip only.
+            if not args.codec.startswith("LSVC"):
+                raise SystemExit("--evolve currently supports the LSVC family")
+            from fvc.train.loop import evolve as evolve_fn
+            results = []
+            for g in gops:
+                adapted, hist = evolve_fn(
+                    model, cfg, np.asarray(g), steps=args.evolve,
+                    gop=g.shape[0] - 1, learning_rate=args.evolve_lr,
+                    init_params=variables)
+                print(f"# evolve loss {hist[0]:.3f} -> {hist[-1]:.3f}",
+                      file=sys.stderr)
+                results += eval_family_on_gops(args.codec, model, adapted, [g],
+                                               real_bits=args.real_bits)
+        elif args.codec.startswith("LSVC") and args.real_bits:
+            # software-pipelined: GOP n+1's device transform overlaps GOP n's
+            # host rANS coding (bit-identical to sequential compress())
+            from fvc.models.bitstream import LSVCBitstreamCodec
+            results = eval_lsvc_on_gops(model, variables, gops)
+            codec = LSVCBitstreamCodec(model, variables)
+            coded = codec.compress_pipelined([np.asarray(g) for g in gops])
+            for g, r, (streams, info) in zip(gops, results, coded):
+                T, H, W = g.shape[0] - 1, g.shape[1], g.shape[2]
+                r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
+        else:
+            results = eval_family_on_gops(args.codec, model, variables, gops,
+                                          real_bits=args.real_bits)
+        if args.log:
+            write_eval_log(args.log, f"{args.codec}-l{level}",
+                           args.data or "synthetic", results)
+        summary = {
+            "codec": args.codec,
+            "level": level,
+            "bpp_est": float(np.mean([r["bpp"] for r in results])),
+            "psnr": float(np.mean([r["psnr"] for r in results])),
+            "bpp_act": (float(np.mean([r["bpp_act"] for r in results]))
+                        if args.real_bits else None),
+            "time_per_frame": float(
+                np.mean([r["time_per_frame"] for r in results])),
+        }
+        print(json.dumps(summary), flush=True)
+        return summary
+
+    if args.levels:
+        # RD sweep (reference eval.py --level_range): one run, one model per
+        # level, per-level checkpoints via --ckpt-pattern.
+        curve = []
+        for level in args.levels:
+            ckpt_dir = (args.ckpt_pattern.format(level=level)
+                        if args.ckpt_pattern else args.ckpt)
+            curve.append(eval_one_level(level, ckpt_dir))
+        key = "bpp_act" if args.real_bits else "bpp_est"
+        print(json.dumps({
+            "rd_curve": {
+                "codec": args.codec,
+                "levels": [c["level"] for c in curve],
+                "bpp": [c[key] for c in curve],
+                "psnr": [c["psnr"] for c in curve],
+            }}))
     else:
-        results = eval_family_on_gops(args.codec, model, variables, gops,
-                                      real_bits=args.real_bits)
-    if args.log:
-        write_eval_log(args.log, args.codec, args.data or "synthetic", results)
-    print(json.dumps({
-        "codec": args.codec,
-        "bpp_est": float(np.mean([r["bpp"] for r in results])),
-        "psnr": float(np.mean([r["psnr"] for r in results])),
-        "bpp_act": (float(np.mean([r["bpp_act"] for r in results]))
-                    if args.real_bits else None),
-        "time_per_frame": float(np.mean([r["time_per_frame"] for r in results])),
-    }))
+        eval_one_level(args.level, args.ckpt)
 
 
 if __name__ == "__main__":
