@@ -54,17 +54,19 @@ def code_gop_scan(apply_fn: Callable, params, frames, init_state, *,
 
 
 def code_gop_bidirectional(apply_fn, params, frames, init_state, *,
-                           training: bool, rng=None):
+                           training: bool, rng=None, mid=None):
     """RLVC's bidirectional GOP-13 window (train.py:266,321,346-357 /
     SURVEY §5: fP=6,bP=6): the I-frame sits mid-GOP; the forward half scans
     ahead and the backward half scans the time-reversed prefix, each with its
     own recurrent state chain.
 
-    frames: [T, B, H, W, 3]; the I-frame is frames[T//2].
+    frames: [T, B, H, W, 3]; the I-frame is frames[mid] (default T//2, i.e.
+    bP = T//2 backward P-frames and fP = T-1-T//2 forward ones).
     Returns (recons [T-1, ...] in display order, outs dict with both halves'
     scalars concatenated in display order)."""
     T = frames.shape[0]
-    mid = T // 2
+    if mid is None:
+        mid = T // 2
     fwd = frames[mid:]                      # [I, P, P, ...]
     bwd = frames[mid::-1]                   # [I, P, P, ...] reversed prefix
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))

@@ -150,7 +150,7 @@ def init_family_variables(codec_name: str, model, gop0, *, num_views: int = 1,
 
 
 def eval_family_on_gops(codec_name: str, model, variables, gops, *,
-                        real_bits: bool = False):
+                        real_bits: bool = False, bP: int = 0):
     """Per-GOP evaluation for every codec family — the reference
     static_simulation_model / parallel_compression family dispatch
     (eval.py:254-354, models.py:260-410) behind one uniform result schema:
@@ -178,7 +178,7 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
 
     results = []
     if name in ("DVC", "RLVC", "RLVC2"):
-        from fvc.gop.engine import code_gop_scan
+        from fvc.gop.engine import code_gop_bidirectional, code_gop_scan
 
         H, W = gops[0].shape[1], gops[0].shape[2]
         state0 = model.init_state(1, H, W)
@@ -189,8 +189,15 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
 
         @jax.jit
         def run(v, frames):
-            recons, outs = code_gop_scan(apply_fn, v, frames, state0,
-                                         training=False)
+            if bP:
+                # RLVC sliding window (train.py:266,321,346-357): I-frame at
+                # index bP, bP backward P-frames coded on the time-reversed
+                # prefix, the rest forward.
+                recons, outs = code_gop_bidirectional(
+                    apply_fn, v, frames, state0, training=False, mid=bP)
+            else:
+                recons, outs = code_gop_scan(apply_fn, v, frames, state0,
+                                             training=False)
             return outs["bpp_est"], outs["psnr"]
 
         codec = None
@@ -211,9 +218,13 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
                  "psnr_list": np.asarray(psnrs).tolist(),
                  "time_per_frame": dt / (g.shape[0] - 1)}
             if codec is not None:
-                streams, _ = codec.compress(np.asarray(frames))
-                r["bpp_act"] = codec.num_bits(streams) / (
-                    (g.shape[0] - 1) * H * W)
+                fr = np.asarray(frames)
+                if bP:  # two windows sharing the mid I-frame
+                    bits = (codec.num_bits(codec.compress(fr[bP:])[0])
+                            + codec.num_bits(codec.compress(fr[bP::-1])[0]))
+                else:
+                    bits = codec.num_bits(codec.compress(fr)[0])
+                r["bpp_act"] = bits / ((g.shape[0] - 1) * H * W)
             results.append(r)
         return results
 

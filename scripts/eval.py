@@ -40,6 +40,11 @@ def main():
                          "(reference eval.py:357-473): fine-tune encoder-side "
                          "params on each clip for STEPS steps, decoder fixed")
     ap.add_argument("--evolve-lr", type=float, default=1e-5)
+    ap.add_argument("--bP", type=int, default=0,
+                    help="backward P-frames for DVC/RLVC: the I-frame sits at "
+                         "index bP of each GOP window and the prefix is coded "
+                         "time-reversed (RLVC GOP-13 fP=6,bP=6 window, "
+                         "reference train.py:266,321,346-357)")
     ap.add_argument("--preset", default="veryslow")
     ap.add_argument("--crf", type=int, default=23)
     ap.add_argument("--cpu", action="store_true",
@@ -131,7 +136,7 @@ def main():
                 r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
         else:
             results = eval_family_on_gops(args.codec, model, variables, gops,
-                                          real_bits=args.real_bits)
+                                          real_bits=args.real_bits, bP=args.bP)
         if args.log:
             write_eval_log(args.log, f"{args.codec}-l{level}",
                            args.data or "synthetic", results)

@@ -63,3 +63,16 @@ def test_evolve_from_checkpoint_encoder_only():
     for key in changed:  # nothing decoder-side moved
         assert not any(s in key for s in
                        ("decoder", "bit_estimator", "warpnet")), key
+
+
+def test_eval_rlvc_bidirectional_window():
+    """--bP: RLVC GOP window with the I-frame mid-sequence; both halves coded
+    with independent recurrent chains; real bits cover both directions."""
+    model, cfg = get_codec_model("RLVC", compression_level=2)
+    g = _gops(t=5)[0]  # I at index 2: bP=2 backward, fP=2 forward
+    variables = init_family_variables("RLVC", model, g)
+    res = eval_family_on_gops("RLVC", model, variables, [g],
+                              real_bits=True, bP=2)[0]
+    assert len(res["psnr_list"]) == 4  # T-1 P-frames in display order
+    assert np.isfinite(res["psnr"]) and res["bpp_act"] > 0
+    assert abs(res["bpp_act"] - res["bpp"]) < max(0.3, 0.15 * res["bpp"])
