@@ -48,7 +48,12 @@ def simulate_over_trace(all_psnr: np.ndarray, all_bitrate: np.ndarray,
     avail_bitrates = np.sort(all_bitrate.mean(axis=-1))
     avail_psnr = np.sort(all_psnr.mean(axis=-1))
     s1 = avail_bitrates[0] * p
-    s2 = avail_bitrates[1] * p if num_levels > 1 else s1 * 2
+    # degenerate ladders (single level, or equal measured bitrates) would put
+    # s2 == s1 and poison alpha with a 0/0 -> the selection loop never
+    # terminates; fall back to a 2x synthetic second rung
+    s2 = (avail_bitrates[1] * p
+          if num_levels > 1 and avail_bitrates[1] > avail_bitrates[0]
+          else s1 * 2)
     if cfg.use_psnr_utility:
         v1, v2, v_max = avail_psnr[0], avail_psnr[min(1, num_levels - 1)], avail_psnr[-1]
     else:
@@ -143,3 +148,47 @@ def load_fcc_trace_csv(path: str, *, field: str = "downthrpt",
             if len(down) >= max_samples:
                 break
     return np.asarray(down), np.asarray(lat)
+
+
+def parse_eval_logs(path: str, *, width: int, height: int,
+                    fps: float = 30.0, gop: int = 16, segments: int = 200):
+    """Build [levels, segments] (psnr, bitrate, decode-time) ladders from an
+    eval log written by fvc.train.evaluate.write_eval_log — the reference's
+    task_to_video_trace (simulation.py:113-204), which parses its own eval
+    logs into per-segment ladders for BOLA.
+
+    Records in one file are grouped by their codec tag (the eval CLI's RD
+    sweep writes one record per level, tagged '{codec}-l{level}'); levels are
+    ordered by bitrate. Per-frame PSNRs from the record cycle across segments;
+    bitrate = bpp * W * H * fps."""
+    records = []  # (tag, bpp, psnr_mean, t_per_frame, psnr_list)
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    i = 0
+    while i < len(lines):
+        head = lines[i].split()
+        tag, bpp, psnr_mean, tpf = (head[0], float(head[2]), float(head[3]),
+                                    float(head[4]))
+        psnr_list = []
+        i += 1
+        while i < len(lines) and len(lines[i].split()) != 5:
+            psnr_list += [float(v) for v in lines[i].split()]
+            i += 1
+        records.append((tag, bpp, psnr_mean, tpf, psnr_list or [psnr_mean]))
+
+    # one ladder level per distinct tag, averaged over that tag's records
+    tags = sorted({r[0] for r in records},
+                  key=lambda t: (float(np.mean([r[1] for r in records
+                                                if r[0] == t])), t))
+    all_psnr = np.zeros((len(tags), segments))
+    all_bitrate = np.zeros((len(tags), segments))
+    all_dect = np.zeros((len(tags), segments))
+    for lvl, tag in enumerate(tags):
+        rs = [r for r in records if r[0] == tag]
+        bpp = float(np.mean([r[1] for r in rs]))
+        tpf = float(np.mean([r[3] for r in rs]))
+        plist = np.concatenate([r[4] for r in rs])
+        all_psnr[lvl] = np.resize(plist, segments)
+        all_bitrate[lvl] = bpp * width * height * fps
+        all_dect[lvl] = tpf * gop
+    return all_psnr, all_bitrate, all_dect, tags

@@ -29,17 +29,31 @@ def main():
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--decode-time", type=float, default=0.010,
                     help="s/frame at top level (reference 3090 ladder)")
+    ap.add_argument("--eval-log", default=None,
+                    help="build the rate ladder from an eval-CLI log instead "
+                         "of the synthetic one (reference task_to_video_trace, "
+                         "simulation.py:113-204); pair with --width/--height")
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    from fvc.sim.bola import BolaConfig, load_fcc_trace_csv, simulate_over_trace
+    from fvc.sim.bola import (BolaConfig, load_fcc_trace_csv, parse_eval_logs,
+                              simulate_over_trace)
 
     rng = np.random.RandomState(args.seed)
-    # rate ladder: log-spaced bitrates, PSNR from a typical RD curve shape
-    bitrate = np.geomspace(1e6, 8e6, args.levels)[:, None] * \
-        np.ones((1, args.segments))
-    psnr = (30.0 + 3.0 * np.log2(bitrate / 1e6)) + rng.rand(*bitrate.shape) * 0.2
-    dect = np.full_like(bitrate, args.decode_time * args.gop)
+    if args.eval_log:
+        psnr, bitrate, dect, tags = parse_eval_logs(
+            args.eval_log, width=args.width, height=args.height,
+            fps=args.fps, gop=args.gop, segments=args.segments)
+        print(json.dumps({"ladder_tags": tags,
+                          "bitrates_bps": bitrate[:, 0].tolist()}), flush=True)
+    else:
+        # rate ladder: log-spaced bitrates, PSNR from a typical RD curve shape
+        bitrate = np.geomspace(1e6, 8e6, args.levels)[:, None] * \
+            np.ones((1, args.segments))
+        psnr = (30.0 + 3.0 * np.log2(bitrate / 1e6)) + rng.rand(*bitrate.shape) * 0.2
+        dect = np.full_like(bitrate, args.decode_time * args.gop)
 
     if args.trace_csv:
         down, lat = load_fcc_trace_csv(args.trace_csv)

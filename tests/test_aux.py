@@ -191,3 +191,26 @@ def test_flow_to_image():
     a = flow_to_image(flow)
     b = flow_to_image(-flow)
     assert (a != b).any()  # direction changes hue
+
+
+def test_bola_from_eval_log_and_degenerate_ladder(tmp_path):
+    """Eval logs feed the BOLA sim (reference task_to_video_trace,
+    simulation.py:113-204); equal-bitrate ladders must not hang the
+    level-selection loop (0/0 alpha guard)."""
+    from fvc.sim.bola import BolaConfig, parse_eval_logs, simulate_over_trace
+
+    log = tmp_path / "rd.log"
+    log.write_text(
+        "LSVC-l1 synthetic 0.500000 30.0000 0.010000\n"
+        "29.5 30.5\n"
+        "LSVC-l2 synthetic 0.500000 33.0000 0.012000\n"  # same bpp: degenerate
+        "32.5 33.5\n")
+    psnr, bitrate, dect, tags = parse_eval_logs(
+        str(log), width=256, height=256, fps=30.0, gop=4, segments=20)
+    assert tags == ["LSVC-l1", "LSVC-l2"]
+    assert psnr.shape == bitrate.shape == dect.shape == (2, 20)
+    assert np.allclose(bitrate, 0.5 * 256 * 256 * 30.0)
+    down = np.full(500, 20e6)
+    qoe, qual, rebuf, stall, bw = simulate_over_trace(
+        psnr, bitrate, dect, down, np.zeros(500), BolaConfig(gop=4))
+    assert np.isfinite([qoe, qual, rebuf, stall, bw]).all()
