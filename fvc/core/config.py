@@ -30,7 +30,13 @@ class CodecConfig:
     """
 
     name: str = "DVC"
-    loss_type: str = "P"              # 'P' (PSNR/MSE) or 'M' (MS-SSIM)
+    loss_type: str = "P"              # 'P' (PSNR/MSE) or 'M' (MS-SSIM).
+                                      # Matches the reference exactly: 'M'
+                                      # only switches the lambda ladder; the
+                                      # training distortion stays MSE
+                                      # (models.py:75,967 sets use_psnr but
+                                      # nothing consumes it), MS-SSIM is an
+                                      # eval metric (fvc.ops.ms_ssim)
     compression_level: int = 2
     channels: int = 128               # Coder2D latent channels
 
