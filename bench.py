@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--batch", type=int, default=0, metavar="B",
+                    help="also measure B concurrent streams vmapped into one "
+                         "program (serving throughput per chip; the headline "
+                         "metric stays the single-stream reference workload)")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +115,28 @@ def main():
           f"compile={compile_s:.1f}s gop_time_min={sec_per_gop * 1e3:.0f}ms "
           f"all={[round(t, 1) for t in times]} "
           f"bpp={float(bpp):.4f} psnr={float(psnr):.2f}", file=sys.stderr)
+
+    if args.batch:
+        B = args.batch
+        xb = jnp.asarray(np.random.RandomState(1).rand(
+            B, gop + 1, H, W, 3).astype(np.float32))
+        fwd_b = jax.jit(jax.vmap(fwd, in_axes=(None, 0)))
+        jax.block_until_ready(fwd_b(variables, xb)[0])  # compile+warm
+        tb = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            com_b = fwd_b(variables, xb)[0]
+            _ = float(jnp.ravel(com_b)[0])
+            tb.append(time.perf_counter() - t0)
+        fps_b = B * gop / min(tb)
+        print(json.dumps({
+            "metric": f"lsvc_{H}x{W}_encdec_throughput_fps_per_chip_b{B}",
+            "value": round(fps_b, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps_b / BASELINE_ENCDEC_FPS, 3),
+        }), file=sys.stderr)
+        print(f"# batch={B} gop_time_min={min(tb) * 1e3:.0f}ms "
+              f"all={[round(t, 1) for t in tb]}", file=sys.stderr)
 
 
 if __name__ == "__main__":
