@@ -161,6 +161,15 @@ def parse_eval_logs(path: str, *, width: int, height: int,
     sweep writes one record per level, tagged '{codec}-l{level}'); levels are
     ordered by bitrate. Per-frame PSNRs from the record cycle across segments;
     bitrate = bpp * W * H * fps."""
+    def is_header(line):
+        # header lines start with the codec tag (non-numeric); psnr lines are
+        # all floats — a length test would misparse 5-entry psnr lists (GOP 6)
+        try:
+            float(line.split()[0])
+            return False
+        except ValueError:
+            return True
+
     records = []  # (tag, bpp, psnr_mean, t_per_frame, psnr_list)
     with open(path) as f:
         lines = [ln.strip() for ln in f if ln.strip()]
@@ -171,7 +180,7 @@ def parse_eval_logs(path: str, *, width: int, height: int,
                                     float(head[4]))
         psnr_list = []
         i += 1
-        while i < len(lines) and len(lines[i].split()) != 5:
+        while i < len(lines) and not is_header(lines[i]):
             psnr_list += [float(v) for v in lines[i].split()]
             i += 1
         records.append((tag, bpp, psnr_mean, tpf, psnr_list or [psnr_mean]))

@@ -214,3 +214,19 @@ def test_bola_from_eval_log_and_degenerate_ladder(tmp_path):
     qoe, qual, rebuf, stall, bw = simulate_over_trace(
         psnr, bitrate, dect, down, np.zeros(500), BolaConfig(gop=4))
     assert np.isfinite([qoe, qual, rebuf, stall, bw]).all()
+
+
+def test_parse_eval_logs_five_entry_psnr_lines(tmp_path):
+    """Header detection must be tag-based: a 5-entry psnr line (GOP 6) is not
+    a header even though headers also have 5 fields."""
+    from fvc.sim.bola import parse_eval_logs
+
+    log = tmp_path / "rd.log"
+    log.write_text("LSVC-l1 uvg 0.300000 31.0000 0.010000\n"
+                   "30.1 30.9 31.2 31.0 31.3\n"
+                   "LSVC-l2 uvg 0.600000 34.0000 0.012000\n"
+                   "33.8 34.1 34.2 34.0 34.4\n")
+    psnr, br, dect, tags = parse_eval_logs(
+        str(log), width=640, height=960, fps=30, gop=6, segments=10)
+    assert tags == ["LSVC-l1", "LSVC-l2"]
+    assert abs(psnr[0, 0] - 30.1) < 1e-6 and abs(psnr[1, 0] - 33.8) < 1e-6
