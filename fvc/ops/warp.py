@@ -200,8 +200,16 @@ def gaussian_kernel1d(sigma: float, radius: int, dtype=jnp.float32) -> jax.Array
 
 
 def gaussian_blur(x: jax.Array, sigma: float) -> jax.Array:
-    """Separable Gaussian blur, kernel size 2*ceil(3*sigma)+1, SAME padding."""
+    """Separable Gaussian blur, kernel size 2*ceil(3*sigma)+1, SAME padding.
+    Rides the active compute policy (bf16 on TPU): the scale-space volume is
+    consumed by the bf16 warp anyway, so blurring in f32 only wastes HBM."""
     import math
+
+    from fvc.core.policy import compute_dtype
+
+    dt = compute_dtype()
+    if dt is not None and x.dtype != dt:
+        x = x.astype(dt)
     radius = int(math.ceil(3.0 * float(sigma)))
     k = gaussian_kernel1d(sigma, radius, x.dtype)
     C = x.shape[-1]
