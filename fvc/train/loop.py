@@ -93,7 +93,9 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
 def train_iterpred(model, cfg: CodecConfig, dataset, *,
                    steps: int = 100, gop: int = 4,
                    learning_rate: float = 1e-4, seed: int = 0,
-                   log_every: int = 10, init_params=None):
+                   log_every: int = 10, init_params=None,
+                   ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
+                   step_offset: int = 0):
     """DVC/RLVC trainer: scan-based GOP coding, reference loss
     (train.py:185-207: r*img_loss + bpp_est per frame, averaged)."""
     from fvc.gop.engine import code_gop_scan
@@ -126,14 +128,36 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
             "loss": loss, "psnr": jnp.mean(outs["psnr"]),
             "bpp_est": jnp.mean(outs["bpp_est"])}
 
+    # device-resident pool: per-step H2D through the tunnel leaks the
+    # transfer buffer host-side (see train_single_view's note)
+    data_dev = None
+    if len(dataset) * (gop + 1) * np.prod(dataset[0].shape[1:]) * 4 < 2e9:
+        data_dev = jnp.asarray(np.stack(
+            [dataset[i][: gop + 1] for i in range(len(dataset))]))[:, :, None]
+
     history = []
     for step in range(steps):
-        clip = dataset[rng.randint(0, len(dataset))][: gop + 1]
-        frames = jnp.asarray(clip[:, None])  # [T, B=1, H, W, 3]
+        idx = rng.randint(0, len(dataset))
+        if data_dev is not None:
+            frames = data_dev[idx]
+        else:
+            frames = jnp.asarray(dataset[idx][: gop + 1][:, None])
         variables, opt_state, metrics = step_fn(
             variables, opt_state, frames, jax.random.PRNGKey(seed + 2 + step))
         if step % log_every == 0 or step == steps - 1:
-            history.append({k: float(v) for k, v in metrics.items()})
+            rec = {k: float(v) for k, v in metrics.items()}
+            rec["step"] = step_offset + step
+            history.append(rec)
+            import json as _json
+            import time as _time
+            print(_json.dumps({"t": round(_time.time(), 1), **rec}),
+                  flush=True)
+        if ckpt_dir and (step + 1) % ckpt_every == 0:
+            save_checkpoint(ckpt_dir, step_offset + step + 1,
+                            {"params": variables})
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables},
+                        best=True)
     return variables, history
 
 

@@ -118,7 +118,8 @@ def main():
         params, history = train_iterpred(
             model, cfg, ds, steps=args.steps, gop=args.gop,
             learning_rate=args.lr, seed=args.seed,
-            init_params=resume_params)
+            init_params=resume_params, ckpt_dir=args.ckpt,
+            ckpt_every=args.ckpt_every, step_offset=step_offset)
     else:
         params, history = train_single_view(
             model, cfg, ds, steps=args.steps, batch_size=args.batch,
