@@ -31,17 +31,36 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
                       ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
                       log_every: int = 10, seed: int = 0,
                       mesh=None, bf16: bool = False, init_params=None,
-                      step_offset: int = 0, stage: str = "REC"):
+                      step_offset: int = 0, stage: str = "REC",
+                      aug_pad: int = 0):
     """Generic RD training over GOP clips. Returns (params, history).
     Model must be an LSVC-style module: apply(params, x[T,H,W,3], training, rng)
     -> (recon, out with rec_loss/bpp_est). IterPred models train through
-    fvc.gop.engine instead (see train_iterpred)."""
+    fvc.gop.engine instead (see train_iterpred).
+
+    aug_pad > 0 enables on-device random-crop augmentation: the pool holds
+    clips aug_pad pixels larger per side and each step dynamic-slices a random
+    window — gradient variety that (among its usual generalization benefits)
+    keeps Adam out of the deterministic sign-descent regime where the RD
+    lambda cancels out of every update (see ROUND1_NOTES 'lambda
+    cancellation')."""
     from fvc.dist.mesh import frames_spec, replicated
     from fvc.train.step import lsvc_loss_fn, make_train_step
 
     rng = np.random.RandomState(seed)
     sample = dataset[0][: gop + 1]
+    if aug_pad:
+        sample = sample[:, :-aug_pad, :-aug_pad]
     frames0 = jnp.asarray(sample[None])
+
+    @jax.jit
+    def crop_fn(batch, offs):
+        def one(clip, o):
+            T, Hp, Wp, C = clip.shape
+            return jax.lax.dynamic_slice(
+                clip, (0, o[0], o[1], 0),
+                (T, Hp - aug_pad, Wp - aug_pad, C))
+        return jax.vmap(one)(batch, offs)
     variables = init_params if init_params is not None else model.init(
         jax.random.PRNGKey(seed), frames0[0],
         training=True, rng=jax.random.PRNGKey(seed + 1))
@@ -71,6 +90,10 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
                 np.stack([dataset[i][: gop + 1] for i in idx]))
             if mesh is not None:
                 batch = jax.device_put(batch, frames_spec(mesh))
+        if aug_pad:
+            offs = jnp.asarray(
+                rng.randint(0, aug_pad + 1, (batch.shape[0], 2)))
+            batch = crop_fn(batch, offs)
         variables, opt_state, metrics = step_fn(
             variables, opt_state, batch, jax.random.PRNGKey(seed + 2 + step))
         if step % log_every == 0 or step == steps - 1:

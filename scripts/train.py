@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--data", default=None, help="Vimeo-style frame dirs; synthetic if absent")
     ap.add_argument("--crop", type=int, default=256)
+    ap.add_argument("--aug-pad", type=int, default=0,
+                    help="on-device random-crop augmentation: pool clips are "
+                         "crop+aug_pad px and each step slices a random "
+                         "crop-sized window (gradient variety; see "
+                         "ROUND1_NOTES lambda-cancellation)")
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--ckpt-every", type=int, default=5000)
     ap.add_argument("--bf16", action="store_true")
@@ -64,7 +69,7 @@ def main():
     model, cfg = get_codec_model(
         args.codec, compression_level=args.compression_level,
         loss_type=args.loss_type)
-    ds = FrameDataset(root=args.data, crop=args.crop,
+    ds = FrameDataset(root=args.data, crop=args.crop + args.aug_pad,
                       frames=args.gop + 1, seed=args.seed)
 
     mesh = None
@@ -126,7 +131,7 @@ def main():
             gop=args.gop, learning_rate=args.lr, ckpt_dir=args.ckpt,
             ckpt_every=args.ckpt_every, seed=args.seed, mesh=mesh,
             bf16=args.bf16, init_params=resume_params,
-            step_offset=step_offset, stage=args.stage)
+            step_offset=step_offset, stage=args.stage, aug_pad=args.aug_pad)
     if args.ckpt:
         from fvc.train.checkpoint import save_checkpoint
         save_checkpoint(args.ckpt, step_offset + args.steps,

@@ -162,3 +162,19 @@ def test_stage_wp_trains_only_motion_branch():
     assert max_abs(g["mv_encoder"]) > 0
     assert max_abs(g["res_encoder"]) == 0
     assert max_abs(g["res_decoder"]) == 0
+
+
+def test_aug_pad_random_crops_vary_and_train():
+    """aug_pad: pool clips are crop+pad; each step slices a random window on
+    device. Training must run at the cropped size with finite losses."""
+    from fvc.models.lsvc import LSVC
+    from fvc.train.loop import train_single_view
+
+    cfg = CodecConfig.from_name("LSVC", compression_level=1)
+    model = LSVC(cfg)
+    ds = SyntheticVideoDataset(num_videos=4, frames=3, height=80, width=80)
+    _, history = train_single_view(model, cfg, ds, steps=4, gop=2,
+                                   learning_rate=1e-4, log_every=1,
+                                   aug_pad=16)
+    losses = np.asarray([h["loss"] for h in history])
+    assert np.isfinite(losses).all() and len(losses) == 4
