@@ -184,6 +184,86 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
     return variables, history
 
 
+def train_elfvc(model, cfg: CodecConfig, dataset, *,
+                steps: int = 100, gop: int = 4,
+                learning_rate: float = 1e-4, seed: int = 0,
+                log_every: int = 10, init_params=None,
+                ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
+                step_offset: int = 0, alpha: float = 100.0):
+    """ELFVC(-SP)/SSF-family trainer: lax.scan over the ELFVCState chain with
+    the reference's per-frame loss r*mse + bpp (+ alpha * super-precision
+    pred-error norm, parallel_compression models.py:274-308, train.py --alpha).
+    Frame 0 is the given reference (I-frame passthrough, reference eval
+    convention); frames 1..T code sequentially."""
+    from fvc.models.elfvc import elfvc_frame_metrics
+
+    rng = np.random.RandomState(seed)
+    sample = jnp.asarray(dataset[0][: gop + 1])
+    H, W = sample.shape[1], sample.shape[2]
+    state0 = model.init_state(1, H, W)
+    variables = init_params if init_params is not None else model.init(
+        jax.random.PRNGKey(seed), sample[1][None], sample[0][None], state0,
+        training=True, rng=jax.random.PRNGKey(seed + 1))
+    optimizer = make_optimizer(learning_rate, clip_norm=None)
+    opt_state = optimizer.init(variables)
+
+    def loss_fn(params, frames, key):
+        # frames [T, 1, H, W, 3]
+        def body(carry, inp):
+            x_ref, st = carry
+            x_cur, k = inp
+            x_rec, st2, lk = model.apply(params, x_cur, x_ref, st,
+                                         training=True, rng=k)
+            m = elfvc_frame_metrics(x_cur, x_rec, lk)
+            return (jax.lax.stop_gradient(x_rec), st2), m
+
+        keys = jax.random.split(key, frames.shape[0] - 1)
+        (_, _), ms = jax.lax.scan(body, (frames[0], state0),
+                                  (frames[1:], keys))
+        loss = jnp.mean(cfg.rate_lambda * ms["img_loss"] + ms["bpp_est"]
+                        + alpha * ms["pred_norm"])
+        return loss, ms
+
+    @jax.jit
+    def step_fn(params, opt_state, frames, key):
+        (loss, ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {
+            "loss": loss, "psnr": jnp.mean(ms["psnr"]),
+            "bpp_est": jnp.mean(ms["bpp_est"]),
+            "pred_norm": jnp.mean(ms["pred_norm"])}
+
+    data_dev = None
+    if len(dataset) * (gop + 1) * np.prod(dataset[0].shape[1:]) * 4 < 2e9:
+        data_dev = jnp.asarray(np.stack(
+            [dataset[i][: gop + 1] for i in range(len(dataset))]))[:, :, None]
+
+    history = []
+    for step in range(steps):
+        idx = rng.randint(0, len(dataset))
+        frames = (data_dev[idx] if data_dev is not None
+                  else jnp.asarray(dataset[idx][: gop + 1][:, None]))
+        variables, opt_state, metrics = step_fn(
+            variables, opt_state, frames, jax.random.PRNGKey(seed + 2 + step))
+        if step % log_every == 0 or step == steps - 1:
+            rec = {k: float(v) for k, v in metrics.items()}
+            rec["step"] = step_offset + step
+            history.append(rec)
+            import json as _json
+            import time as _time
+            print(_json.dumps({"t": round(_time.time(), 1), **rec}),
+                  flush=True)
+        if ckpt_dir and (step + 1) % ckpt_every == 0:
+            save_checkpoint(ckpt_dir, step_offset + step + 1,
+                            {"params": variables})
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables},
+                        best=True)
+    return variables, history
+
+
 def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
            learning_rate: float = 1e-5, encoder_only: bool = True, seed: int = 0,
            init_params=None):

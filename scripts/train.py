@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--gop", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--alpha", type=float, default=100.0,
+                    help="super-precision pred-error aux weight for ELFVC-SP "
+                         "(reference train.py --alpha)")
     ap.add_argument("--data", default=None, help="Vimeo-style frame dirs; synthetic if absent")
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--aug-pad", type=int, default=0,
@@ -64,7 +67,7 @@ def main():
 
     from fvc.data.datasets import FrameDataset
     from fvc.models.registry import get_codec_model
-    from fvc.train.loop import train_iterpred, train_single_view
+    from fvc.train.loop import train_elfvc, train_iterpred, train_single_view
 
     model, cfg = get_codec_model(
         args.codec, compression_level=args.compression_level,
@@ -89,12 +92,10 @@ def main():
             tag = _os.path.basename(path)
             if tag.startswith("ckpt_"):
                 step_offset = int(tag.split("_")[1])
-            import jax as _jax
             from fvc.data.datasets import SyntheticVideoDataset as _S
+            from fvc.train.evaluate import init_family_variables
             probe = _S(1, frames=args.gop + 1, height=args.crop, width=args.crop)[0]
-            import jax.numpy as _jnp
-            ref = model.init(_jax.random.PRNGKey(0), _jnp.asarray(probe),
-                             training=False)
+            ref = init_family_variables(args.codec, model, probe)
             resume_params = restore_checkpoint(path, {"params": ref})["params"]
             print(f"resumed from {path}", flush=True)
     if args.spynet_npy and resume_params is None:
@@ -119,7 +120,14 @@ def main():
         resume_params = fresh
         print(f"grafted pretrained SpyNet from {args.spynet_npy}", flush=True)
 
-    if args.codec in ("DVC", "RLVC", "RLVC2"):
+    if args.codec.startswith("ELFVC"):
+        params, history = train_elfvc(
+            model, cfg, ds, steps=args.steps, gop=args.gop,
+            learning_rate=args.lr, seed=args.seed,
+            init_params=resume_params, ckpt_dir=args.ckpt,
+            ckpt_every=args.ckpt_every, step_offset=step_offset,
+            alpha=args.alpha)
+    elif args.codec in ("DVC", "RLVC", "RLVC2"):
         params, history = train_iterpred(
             model, cfg, ds, steps=args.steps, gop=args.gop,
             learning_rate=args.lr, seed=args.seed,

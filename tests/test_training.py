@@ -178,3 +178,20 @@ def test_aug_pad_random_crops_vary_and_train():
                                    aug_pad=16)
     losses = np.asarray([h["loss"] for h in history])
     assert np.isfinite(losses).all() and len(losses) == 4
+
+
+def test_train_elfvc_sp_runs_and_is_finite():
+    """ELFVC(-SP) trainer: scan over the ELFVCState chain with the reference's
+    r*mse + bpp + alpha*pred_norm loss; losses stay finite and the SP
+    pred-error norm is reported."""
+    from fvc.models.elfvc import ELFVC
+    from fvc.train.loop import train_elfvc
+
+    cfg = CodecConfig.from_name("ELFVC-SP", compression_level=1)
+    model = ELFVC(cfg, planes=32, mid=16)
+    ds = SyntheticVideoDataset(num_videos=2, frames=3, height=128, width=128)
+    _, history = train_elfvc(model, cfg, ds, steps=2, gop=2,
+                             learning_rate=1e-4, log_every=1, alpha=1.0)
+    assert len(history) == 2
+    for h in history:
+        assert np.isfinite(h["loss"]) and np.isfinite(h["pred_norm"])
