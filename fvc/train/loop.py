@@ -350,7 +350,13 @@ def pretrain_multiview(model, cfg: CodecConfig, dataset, *,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    history, best, stale = [], float("inf"), 0
+    # converge check on WINDOWED means, mirroring the reference's periodic
+    # test evaluations (train_multiview.py:508-533): comparing raw per-step
+    # losses to the running best makes any 10 noisy steps after the initial
+    # descent abort training (observed: stop at step 61 of 10000 with the
+    # loss still falling 411 -> 37).
+    eval_every = max(converge_patience, 50)
+    history, best, stale, window = [], float("inf"), 0, []
     for step in range(steps):
         clip = dataset.sample() if hasattr(dataset, "sample") else \
             dataset[rng.randint(0, len(dataset))]
@@ -359,12 +365,16 @@ def pretrain_multiview(model, cfg: CodecConfig, dataset, *,
             jax.random.PRNGKey(seed + 2 + step))
         loss = float(loss)
         history.append(loss)
-        if loss < best - min_delta:
-            best, stale = loss, 0
-        else:
-            stale += 1
-            if stale >= converge_patience:
-                break
+        window.append(loss)
+        if len(window) >= eval_every:
+            avg = float(np.mean(window))
+            window = []
+            if avg < best - min_delta:
+                best, stale = avg, 0
+            else:
+                stale += 1
+                if stale >= converge_patience:
+                    break
     return variables, history
 
 
