@@ -264,6 +264,81 @@ def train_elfvc(model, cfg: CodecConfig, dataset, *,
     return variables, history
 
 
+def train_ssf(model, cfg: CodecConfig, dataset, *,
+              steps: int = 100, gop: int = 4,
+              learning_rate: float = 1e-4, seed: int = 0,
+              log_every: int = 10, init_params=None,
+              ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
+              step_offset: int = 0):
+    """SSF (scale-space flow) trainer: stateless sequential GOP scan, loss
+    r*mse + bpp per frame (the reference's SSF path through
+    parallel_compression, models.py:265-282). Frame 0 is the given
+    reference; reconstructions chain with stop_gradient (reference detach)."""
+    from fvc.models.ssf import inter_bpp_est
+    from fvc.ops.math import psnr as _psnr
+
+    rng = np.random.RandomState(seed)
+    sample = jnp.asarray(dataset[0][: gop + 1])
+    variables = init_params if init_params is not None else model.init(
+        jax.random.PRNGKey(seed), sample[1][None], sample[0][None],
+        training=True, rng=jax.random.PRNGKey(seed + 1))
+    optimizer = make_optimizer(learning_rate, clip_norm=None)
+    opt_state = optimizer.init(variables)
+
+    def loss_fn(params, frames, key):
+        B, H, W = frames.shape[1], frames.shape[2], frames.shape[3]
+
+        def body(x_ref, inp):
+            x_cur, k = inp
+            x_rec, lk = model.apply(params, x_cur, x_ref, training=True, rng=k)
+            bpp, _ = inter_bpp_est(lk, B, H, W)
+            m = {"img_loss": jnp.mean(jnp.square(x_cur - x_rec)),
+                 "bpp_est": bpp, "psnr": _psnr(x_cur, x_rec)}
+            return jax.lax.stop_gradient(x_rec), m
+
+        keys = jax.random.split(key, frames.shape[0] - 1)
+        _, ms = jax.lax.scan(body, frames[0], (frames[1:], keys))
+        return jnp.mean(cfg.rate_lambda * ms["img_loss"] + ms["bpp_est"]), ms
+
+    @jax.jit
+    def step_fn(params, opt_state, frames, key):
+        (loss, ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, frames, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {
+            "loss": loss, "psnr": jnp.mean(ms["psnr"]),
+            "bpp_est": jnp.mean(ms["bpp_est"])}
+
+    data_dev = None
+    if len(dataset) * (gop + 1) * np.prod(dataset[0].shape[1:]) * 4 < 2e9:
+        data_dev = jnp.asarray(np.stack(
+            [dataset[i][: gop + 1] for i in range(len(dataset))]))[:, :, None]
+
+    history = []
+    for step in range(steps):
+        idx = rng.randint(0, len(dataset))
+        frames = (data_dev[idx] if data_dev is not None
+                  else jnp.asarray(dataset[idx][: gop + 1][:, None]))
+        variables, opt_state, metrics = step_fn(
+            variables, opt_state, frames, jax.random.PRNGKey(seed + 2 + step))
+        if step % log_every == 0 or step == steps - 1:
+            rec = {k: float(v) for k, v in metrics.items()}
+            rec["step"] = step_offset + step
+            history.append(rec)
+            import json as _json
+            import time as _time
+            print(_json.dumps({"t": round(_time.time(), 1), **rec}),
+                  flush=True)
+        if ckpt_dir and (step + 1) % ckpt_every == 0:
+            save_checkpoint(ckpt_dir, step_offset + step + 1,
+                            {"params": variables})
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables},
+                        best=True)
+    return variables, history
+
+
 def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
            learning_rate: float = 1e-5, encoder_only: bool = True, seed: int = 0,
            init_params=None):

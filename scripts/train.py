@@ -67,7 +67,8 @@ def main():
 
     from fvc.data.datasets import FrameDataset
     from fvc.models.registry import get_codec_model
-    from fvc.train.loop import train_elfvc, train_iterpred, train_single_view
+    from fvc.train.loop import (train_elfvc, train_iterpred,
+                                train_single_view, train_ssf)
 
     model, cfg = get_codec_model(
         args.codec, compression_level=args.compression_level,
@@ -120,7 +121,13 @@ def main():
         resume_params = fresh
         print(f"grafted pretrained SpyNet from {args.spynet_npy}", flush=True)
 
-    if args.codec.startswith("ELFVC"):
+    if args.codec.startswith("SSF"):
+        params, history = train_ssf(
+            model, cfg, ds, steps=args.steps, gop=args.gop,
+            learning_rate=args.lr, seed=args.seed,
+            init_params=resume_params, ckpt_dir=args.ckpt,
+            ckpt_every=args.ckpt_every, step_offset=step_offset)
+    elif args.codec.startswith("ELFVC"):
         params, history = train_elfvc(
             model, cfg, ds, steps=args.steps, gop=args.gop,
             learning_rate=args.lr, seed=args.seed,
