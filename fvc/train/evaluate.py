@@ -146,6 +146,8 @@ def init_family_variables(codec_name: str, model, gop0, *, num_views: int = 1,
         mask = jnp.ones((num_views,), jnp.float32)
         return model.init(key, jnp.tile(frames, (1, num_views, 1, 1, 1)),
                           mask, training=False)
+    if codec_name.startswith("Base"):
+        return model.init(key, x[1][None], x[0][None], training=False)
     raise ValueError(codec_name)
 
 
@@ -269,6 +271,36 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
                 streams, _ = codec.compress(np.asarray(x)[:, None])
                 r["bpp_act"] = codec.num_bits(streams) / (T * H * W)
             results.append(r)
+        return results
+
+    if name.startswith("Base"):
+        # Base/-EC/-ER (models.py:1550): I-frame passthrough reference,
+        # sequential P-frames; out dict carries bpp_est/psnr directly.
+        if real_bits:
+            raise NotImplementedError(
+                "Base family real-bitstream coding is not implemented "
+                "(reference measures it via torchac under calrealbits)")
+
+        @jax.jit
+        def base_run(v, x_cur, x_ref):
+            x_rec, out = model.apply(v, x_cur, x_ref, training=False)
+            return x_rec, out["bpp_est"], out["psnr"]
+
+        for g in gops:
+            x = jnp.asarray(g)
+            T = x.shape[0]
+            x_ref = x[0][None]
+            bpps, psnrs = [], []
+            t0 = time.perf_counter()
+            for t in range(1, T):
+                x_ref, bpp, ps = base_run(variables, x[t][None], x_ref)
+                bpps.append(float(bpp))
+                psnrs.append(float(ps))
+            jax.block_until_ready(x_ref)
+            dt = time.perf_counter() - t0
+            results.append({
+                "bpp": float(np.mean(bpps)), "psnr": float(np.mean(psnrs)),
+                "psnr_list": psnrs, "time_per_frame": dt / (T - 1)})
         return results
 
     if name.startswith("ELFVC"):

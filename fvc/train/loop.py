@@ -270,10 +270,12 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
               log_every: int = 10, init_params=None,
               ckpt_dir: Optional[str] = None, ckpt_every: int = 5000,
               step_offset: int = 0):
-    """SSF (scale-space flow) trainer: stateless sequential GOP scan, loss
-    r*mse + bpp per frame (the reference's SSF path through
-    parallel_compression, models.py:265-282). Frame 0 is the given
-    reference; reconstructions chain with stop_gradient (reference detach)."""
+    """SSF / Base trainer: stateless sequential GOP scan, loss r*mse + bpp
+    per frame (the reference's SSF and Base paths through
+    parallel_compression, models.py:265-345). Frame 0 is the given
+    reference; reconstructions chain with stop_gradient (reference detach).
+    Works for any model with apply(params, x_cur, x_ref) returning either
+    SSF-style likelihood dicts or a Base-style metrics dict."""
     from fvc.models.ssf import inter_bpp_est
     from fvc.ops.math import psnr as _psnr
 
@@ -291,9 +293,13 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
         def body(x_ref, inp):
             x_cur, k = inp
             x_rec, lk = model.apply(params, x_cur, x_ref, training=True, rng=k)
-            bpp, _ = inter_bpp_est(lk, B, H, W)
-            m = {"img_loss": jnp.mean(jnp.square(x_cur - x_rec)),
-                 "bpp_est": bpp, "psnr": _psnr(x_cur, x_rec)}
+            if "bpp_est" in lk:  # Base-style out dict (base_codec.py)
+                m = {"img_loss": lk["img_loss"], "bpp_est": lk["bpp_est"],
+                     "psnr": lk["psnr"]}
+            else:  # SSF-style likelihoods
+                bpp, _ = inter_bpp_est(lk, B, H, W)
+                m = {"img_loss": jnp.mean(jnp.square(x_cur - x_rec)),
+                     "bpp_est": bpp, "psnr": _psnr(x_cur, x_rec)}
             return jax.lax.stop_gradient(x_rec), m
 
         keys = jax.random.split(key, frames.shape[0] - 1)

@@ -121,7 +121,7 @@ def main():
         resume_params = fresh
         print(f"grafted pretrained SpyNet from {args.spynet_npy}", flush=True)
 
-    if args.codec.startswith("SSF"):
+    if args.codec.startswith("SSF") or args.codec.startswith("Base"):
         params, history = train_ssf(
             model, cfg, ds, steps=args.steps, gop=args.gop,
             learning_rate=args.lr, seed=args.seed,

@@ -76,3 +76,16 @@ def test_eval_rlvc_bidirectional_window():
     assert len(res["psnr_list"]) == 4  # T-1 P-frames in display order
     assert np.isfinite(res["psnr"]) and res["bpp_act"] > 0
     assert abs(res["bpp_act"] - res["bpp"]) < max(0.3, 0.15 * res["bpp"])
+
+
+def test_eval_base_family():
+    """Base/-ER evaluate through the family dispatch (estimate-only; the
+    reference measures Base real bits via torchac under calrealbits)."""
+    model, cfg = get_codec_model("Base-ER", compression_level=2)
+    g = _gops(t=3)[0]
+    variables = init_family_variables("Base-ER", model, g)
+    r = eval_family_on_gops("Base-ER", model, variables, [g])[0]
+    assert np.isfinite(r["psnr"]) and r["bpp"] > 0
+    assert len(r["psnr_list"]) == 2
+    with pytest.raises(NotImplementedError):
+        eval_family_on_gops("Base-ER", model, variables, [g], real_bits=True)
