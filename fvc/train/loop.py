@@ -281,14 +281,27 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
 
     rng = np.random.RandomState(seed)
     sample = jnp.asarray(dataset[0][: gop + 1])
-    variables = init_params if init_params is not None else model.init(
-        jax.random.PRNGKey(seed), sample[1][None], sample[0][None],
-        training=True, rng=jax.random.PRNGKey(seed + 1))
+    has_keyframe = hasattr(model, "init_all")  # SSF: learned I-frame branch
+    if init_params is not None:
+        variables = init_params
+    elif has_keyframe:
+        # init through init_all so the keyframe branch's params exist —
+        # linen creates params lazily, and a checkpoint missing the keyframe
+        # codec cannot drive the real-bitstream path
+        variables = model.init(
+            jax.random.PRNGKey(seed), sample[1][None], sample[0][None],
+            training=True, rng=jax.random.PRNGKey(seed + 1),
+            method=model.init_all)
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(seed), sample[1][None], sample[0][None],
+            training=True, rng=jax.random.PRNGKey(seed + 1))
     optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = optimizer.init(variables)
 
     def loss_fn(params, frames, key):
         B, H, W = frames.shape[1], frames.shape[2], frames.shape[3]
+        from fvc.ops.math import bits_from_likelihood
 
         def body(x_ref, inp):
             x_cur, k = inp
@@ -302,9 +315,23 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
                      "bpp_est": bpp, "psnr": _psnr(x_cur, x_rec)}
             return jax.lax.stop_gradient(x_rec), m
 
+        k0, key = jax.random.split(key)
+        if has_keyframe:
+            # learned I-frame trains jointly (its recon seeds the P chain)
+            x0_hat, lk0 = model.apply(params, frames[0], training=True,
+                                      rng=k0, method=model.forward_keyframe)
+            kf_bpp = (bits_from_likelihood(lk0["keyframe"]["y"])
+                      + bits_from_likelihood(lk0["keyframe"]["z"])) / (B * H * W)
+            kf_loss = (cfg.rate_lambda * jnp.mean(jnp.square(frames[0] - x0_hat))
+                       + kf_bpp)
+            chain0 = jax.lax.stop_gradient(x0_hat)
+        else:
+            kf_loss = 0.0
+            chain0 = frames[0]
         keys = jax.random.split(key, frames.shape[0] - 1)
-        _, ms = jax.lax.scan(body, frames[0], (frames[1:], keys))
-        return jnp.mean(cfg.rate_lambda * ms["img_loss"] + ms["bpp_est"]), ms
+        _, ms = jax.lax.scan(body, chain0, (frames[1:], keys))
+        return (jnp.mean(cfg.rate_lambda * ms["img_loss"] + ms["bpp_est"])
+                + kf_loss, ms)
 
     @jax.jit
     def step_fn(params, opt_state, frames, key):
