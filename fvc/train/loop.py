@@ -108,6 +108,9 @@ def train_single_view(model, cfg: CodecConfig, dataset, *,
             save_checkpoint(ckpt_dir, step_offset + step + 1,
                             {"params": variables})
     if ckpt_dir:
+        # numbered AND best: latest_checkpoint resolves numbered ckpts first,
+        # so a best-only final save would silently lose the last interval
+        save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables})
         save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables},
                         best=True)
     return variables, history
@@ -179,6 +182,9 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
             save_checkpoint(ckpt_dir, step_offset + step + 1,
                             {"params": variables})
     if ckpt_dir:
+        # numbered AND best: latest_checkpoint resolves numbered ckpts first,
+        # so a best-only final save would silently lose the last interval
+        save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables})
         save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables},
                         best=True)
     return variables, history
@@ -259,6 +265,9 @@ def train_elfvc(model, cfg: CodecConfig, dataset, *,
             save_checkpoint(ckpt_dir, step_offset + step + 1,
                             {"params": variables})
     if ckpt_dir:
+        # numbered AND best: latest_checkpoint resolves numbered ckpts first,
+        # so a best-only final save would silently lose the last interval
+        save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables})
         save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables},
                         best=True)
     return variables, history
@@ -367,6 +376,9 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
             save_checkpoint(ckpt_dir, step_offset + step + 1,
                             {"params": variables})
     if ckpt_dir:
+        # numbered AND best: latest_checkpoint resolves numbered ckpts first,
+        # so a best-only final save would silently lose the last interval
+        save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables})
         save_checkpoint(ckpt_dir, step_offset + steps, {"params": variables},
                         best=True)
     return variables, history
