@@ -53,6 +53,13 @@ def main():
                          "(endecoder.py:122-139); training from random flow "
                          "risks the motion branch rate-collapsing to zero "
                          "bits before the flow becomes useful")
+    ap.add_argument("--ladder", default=None,
+                    help="comma-separated compression levels to train "
+                         "JOINTLY in one vmapped multi-λ step (per-level "
+                         "from-scratch inits; checkpoints at "
+                         "{--ckpt}_l{level}). One jit program advances the "
+                         "whole RD ladder — see fvc.train.ladder")
+    ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon site hook routes to "
                          "the TPU tunnel by default)")
@@ -120,6 +127,62 @@ def main():
             fresh["params"]["optic_flow"], args.spynet_npy)
         resume_params = fresh
         print(f"grafted pretrained SpyNet from {args.spynet_npy}", flush=True)
+
+    if args.ladder:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from fvc.data.datasets import SyntheticVideoDataset as _S
+        from fvc.train import ladder as _ladder
+
+        levels = [int(x) for x in args.ladder.split(",")]
+        probe = _jnp.asarray(
+            _S(1, frames=args.gop + 1, height=args.crop, width=args.crop)[0])
+        iterpred = args.codec in ("DVC", "RLVC", "RLVC2")
+
+        def fresh_init(i):
+            key = _jax.random.PRNGKey(args.seed + 101 * (i + 1))
+            if iterpred:
+                st = model.init_state(1, args.crop, args.crop)
+                v = model.init(key, probe[0][None], probe[1][None], st, False,
+                               training=False)
+            else:
+                v = model.init(key, probe, training=False)
+            if args.spynet_npy:
+                import flax
+
+                from fvc.ops.spynet import load_npy_weights
+                v = flax.core.unfreeze(v)
+                v["params"]["optic_flow"] = load_npy_weights(
+                    v["params"]["optic_flow"], args.spynet_npy)
+            return v
+
+        init_stacked, step_offset = (None, 0)
+        if args.ckpt:
+            init_stacked, step_offset = _ladder.resume_ladder(
+                args.ckpt, levels, fresh_init(0))
+            if init_stacked is not None:
+                print(f"resumed ladder at step {step_offset}", flush=True)
+        if init_stacked is None:
+            init_stacked = _ladder._stack_trees(
+                [fresh_init(i) for i in range(len(levels))])
+            if args.spynet_npy:
+                print(f"grafted pretrained SpyNet from {args.spynet_npy}",
+                      flush=True)
+        if iterpred:
+            _ladder.train_ladder_iterpred(
+                model, ds, levels=levels, steps=args.steps, gop=args.gop,
+                learning_rate=args.lr, seed=args.seed, ckpt_root=args.ckpt,
+                ckpt_every=args.ckpt_every, step_offset=step_offset,
+                init_params=init_stacked, log_every=args.log_every)
+        else:
+            _ladder.train_ladder_gop(
+                model, cfg, ds, levels=levels, steps=args.steps,
+                gop=args.gop, learning_rate=args.lr, seed=args.seed,
+                ckpt_root=args.ckpt, ckpt_every=args.ckpt_every,
+                step_offset=step_offset, bf16=args.bf16, stage=args.stage,
+                init_params=init_stacked, log_every=args.log_every)
+        return
 
     if args.codec.startswith("SSF") or args.codec.startswith("Base"):
         params, history = train_ssf(

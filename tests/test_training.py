@@ -195,3 +195,29 @@ def test_train_elfvc_sp_runs_and_is_finite():
     assert len(history) == 2
     for h in history:
         assert np.isfinite(h["loss"]) and np.isfinite(h["pred_norm"])
+
+
+def test_ladder_vmapped_levels_separate_and_resume(tmp_path):
+    """Vmapped multi-λ ladder (fvc.train.ladder): one jit step advances every
+    level; per-level inits differ; per-level checkpoints restore in lockstep
+    (reference trains one job per --compression_level, train.py:438-449)."""
+    from fvc.models.registry import get_codec_model
+    from fvc.train import ladder
+
+    model, _ = get_codec_model("DVC", compression_level=2)
+    ds = SyntheticVideoDataset(num_videos=2, frames=3, height=64, width=64)
+    root = str(tmp_path / "lad")
+    v, hist = ladder.train_ladder_iterpred(
+        model, ds, levels=[0, 4], steps=2, gop=2, log_every=1,
+        ckpt_root=root, ckpt_every=10)
+    assert len(hist) == 2
+    for h in hist:
+        assert np.isfinite(h["l0"]["loss"]) and np.isfinite(h["l4"]["loss"])
+    leaf = jax.tree_util.tree_leaves(v)[0]
+    assert np.asarray(jax.device_get(leaf[0] != leaf[1])).any()
+    ref = ladder._slice_tree(jax.device_get(v), 0)
+    stacked, step = ladder.resume_ladder(root, [0, 4], ref)
+    assert step == 2 and stacked is not None
+    restored = jax.tree_util.tree_leaves(stacked)[0]
+    np.testing.assert_array_equal(np.asarray(restored[0]),
+                                  np.asarray(jax.device_get(leaf[0])))
