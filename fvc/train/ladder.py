@@ -15,6 +15,11 @@ docs/ROUND1_NOTES.md: each level is an independent from-scratch
 trajectory (per-level init seed + per-level data sampling), not a
 fine-tune of a shared parent, so the levels separate into a real RD
 ladder.
+
+Per-family builders: `train_ladder_iterpred` (DVC/RLVC scan engine),
+`train_ladder_gop` (LSVC-style whole-GOP apply), `train_ladder_elfvc`
+(ELFVC/-SP state chain + SP aux), `train_ladder_ssf` (SSF/Base with the
+learned keyframe branch). All share `_ladder_loop`.
 """
 
 from __future__ import annotations
@@ -45,63 +50,36 @@ def _ckpt_dir(root: str, level: int) -> str:
     return f"{root}_l{level}"
 
 
-def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
-                          steps: int = 1000, gop: int = 4,
-                          learning_rate: float = 1e-4, seed: int = 0,
-                          log_every: int = 50,
-                          ckpt_root: Optional[str] = None,
-                          ckpt_every: int = 5000, step_offset: int = 0,
-                          init_params=None):
-    """DVC/RLVC ladder: one vmapped step over L levels of the λ ladder.
-
-    Returns (stacked_params, history). Per-level checkpoints land in
-    `{ckpt_root}_l{level}` and restore with the standard single-level
-    eval CLI.
-    """
-    from fvc.gop.engine import code_gop_scan
-
-    lambdas = jnp.asarray([PSNR_LAMBDAS[l] for l in levels], jnp.float32)
+def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
+                 steps, gop, learning_rate, seed, log_every, ckpt_root,
+                 ckpt_every, step_offset, batched_gop: bool,
+                 log_keys=("loss", "psnr", "bpp_est")):
+    """Shared ladder driver. loss_fn(params, lam, frames, key) ->
+    (scalar, metrics). `batched_gop`: frames per level are [1,T,H,W,3]
+    (whole-GOP models) vs [T,1,H,W,3] (sequential scan models)."""
     L = len(levels)
-    rng = np.random.RandomState(seed)
-    sample = jnp.asarray(dataset[0][: gop + 1])
-    state0 = model.init_state(1, sample.shape[1], sample.shape[2])
-
-    if init_params is None:
-        inits = [model.init(jax.random.PRNGKey(seed + 101 * (i + 1)),
-                            sample[0][None], sample[1][None], state0, False,
-                            training=True, rng=jax.random.PRNGKey(seed + i))
-                 for i in range(L)]
-        variables = _stack_trees(inits)
-    else:
-        variables = init_params
     optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = jax.vmap(optimizer.init)(variables)
-
-    def apply_fn(params, x_ref, x_cur, st, flag, *, training, rng):
-        return model.apply(params, x_ref, x_cur, st, flag,
-                           training=training, rng=rng)
-
-    def loss_fn(params, lam, frames, key):
-        _, outs = code_gop_scan(apply_fn, params, frames, state0,
-                                training=True, rng=key)
-        return jnp.mean(lam * outs["img_loss"] + outs["bpp_est"]), outs
 
     def step_one(params, opt_state, lam, frames, key):
         (loss, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, lam, frames, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {
-            "loss": loss, "psnr": jnp.mean(outs["psnr"]),
-            "bpp_est": jnp.mean(outs["bpp_est"])}
+        metrics = {k: jnp.mean(v) for k, v in outs.items()
+                   if hasattr(v, "ndim") and v.ndim <= 1}
+        metrics["loss"] = loss
+        return params, opt_state, metrics
 
     step_fn = jax.jit(jax.vmap(step_one), donate_argnums=(0, 1))
 
-    # Device-resident pool (see train_single_view: per-step H2D through the
-    # tunnel leaks host memory).
-    data_dev = jnp.asarray(np.stack(
-        [dataset[i][: gop + 1] for i in range(len(dataset))]))[:, :, None]
+    # Device-resident pool (per-step H2D through the tunnel leaks the
+    # transfer buffer host-side — see train_single_view).
+    stackd = np.stack([dataset[i][: gop + 1] for i in range(len(dataset))])
+    data_dev = jnp.asarray(stackd[:, None] if batched_gop
+                           else stackd[:, :, None])
 
+    rng = np.random.RandomState(seed)
     history = []
     for step in range(steps):
         idx = jnp.asarray(rng.randint(0, len(dataset), L))  # per-level clip
@@ -114,8 +92,8 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
             rec = {"step": step_offset + step, "t": round(time.time(), 1)}
             m = {k: np.asarray(v) for k, v in metrics.items()}
             for i, lvl in enumerate(levels):
-                rec[f"l{lvl}"] = {k: round(float(v[i]), 4)
-                                  for k, v in m.items()}
+                rec[f"l{lvl}"] = {k: round(float(m[k][i]), 4)
+                                  for k in log_keys if k in m}
             history.append(rec)
             print(json.dumps(rec), flush=True)
         if ckpt_root and (step + 1) % ckpt_every == 0:
@@ -127,6 +105,43 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
     return variables, history
 
 
+def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
+                          steps: int = 1000, gop: int = 4,
+                          learning_rate: float = 1e-4, seed: int = 0,
+                          log_every: int = 50,
+                          ckpt_root: Optional[str] = None,
+                          ckpt_every: int = 5000, step_offset: int = 0,
+                          init_params=None):
+    """DVC/RLVC ladder (scan engine, reference loss train.py:185-207)."""
+    from fvc.gop.engine import code_gop_scan
+
+    lambdas = jnp.asarray([PSNR_LAMBDAS[l] for l in levels], jnp.float32)
+    sample = jnp.asarray(dataset[0][: gop + 1])
+    state0 = model.init_state(1, sample.shape[1], sample.shape[2])
+
+    if init_params is None:
+        init_params = _stack_trees([
+            model.init(jax.random.PRNGKey(seed + 101 * (i + 1)),
+                       sample[0][None], sample[1][None], state0, False,
+                       training=True, rng=jax.random.PRNGKey(seed + i))
+            for i in range(len(levels))])
+
+    def apply_fn(params, x_ref, x_cur, st, flag, *, training, rng):
+        return model.apply(params, x_ref, x_cur, st, flag,
+                           training=training, rng=rng)
+
+    def loss_fn(params, lam, frames, key):
+        _, outs = code_gop_scan(apply_fn, params, frames, state0,
+                                training=True, rng=key)
+        return jnp.mean(lam * outs["img_loss"] + outs["bpp_est"]), outs
+
+    return _ladder_loop(loss_fn, init_params, lambdas, levels, dataset,
+                        steps=steps, gop=gop, learning_rate=learning_rate,
+                        seed=seed, log_every=log_every, ckpt_root=ckpt_root,
+                        ckpt_every=ckpt_every, step_offset=step_offset,
+                        batched_gop=False)
+
+
 def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
                      levels: Sequence[int], steps: int = 1000, gop: int = 5,
                      learning_rate: float = 1e-4, seed: int = 0,
@@ -134,26 +149,17 @@ def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
                      ckpt_every: int = 5000, step_offset: int = 0,
                      bf16: bool = False, stage: str = "REC",
                      init_params=None):
-    """LSVC-style (whole-GOP apply) ladder: vmapped levels over
-    lsvc_loss_fn. frames per level [1, T, H, W, 3]."""
+    """LSVC-style (whole-GOP apply) ladder, vmapped over lsvc_loss_fn."""
     lambdas = jnp.asarray([PSNR_LAMBDAS[l] for l in levels], jnp.float32)
-    L = len(levels)
-    rng = np.random.RandomState(seed)
     sample = jnp.asarray(dataset[0][: gop + 1])
 
     if init_params is None:
-        inits = [model.init(jax.random.PRNGKey(seed + 101 * (i + 1)),
-                            sample, training=True,
-                            rng=jax.random.PRNGKey(seed + i))
-                 for i in range(L)]
-        variables = _stack_trees(inits)
-    else:
-        variables = init_params
-    optimizer = make_optimizer(learning_rate, clip_norm=None)
-    opt_state = jax.vmap(optimizer.init)(variables)
+        init_params = _stack_trees([
+            model.init(jax.random.PRNGKey(seed + 101 * (i + 1)), sample,
+                       training=True, rng=jax.random.PRNGKey(seed + i))
+            for i in range(len(levels))])
 
     base = lsvc_loss_fn(model, cfg, bf16=bf16, stage=stage)
-
     dist_key = {"REC": "rec_loss", "WP": "warp_loss", "MC": "mc_loss"}[stage]
 
     def loss_fn(params, lam, frames, key):
@@ -164,46 +170,123 @@ def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
         loss = loss + (lam - cfg.rate_lambda) * metrics[dist_key]
         return loss, metrics
 
-    def step_one(params, opt_state, lam, frames, key):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, lam, frames, key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        metrics = dict(metrics)
-        metrics["loss"] = loss
-        return params, opt_state, metrics
+    return _ladder_loop(loss_fn, init_params, lambdas, levels, dataset,
+                        steps=steps, gop=gop, learning_rate=learning_rate,
+                        seed=seed, log_every=log_every, ckpt_root=ckpt_root,
+                        ckpt_every=ckpt_every, step_offset=step_offset,
+                        batched_gop=True,
+                        log_keys=("loss", "psnr", "bpp_est", "rec_loss"))
 
-    step_fn = jax.jit(jax.vmap(step_one), donate_argnums=(0, 1))
 
-    data_dev = jnp.asarray(np.stack(
-        [dataset[i][: gop + 1] for i in range(len(dataset))]))
+def train_ladder_elfvc(model, dataset, *, levels: Sequence[int],
+                       steps: int = 1000, gop: int = 4,
+                       learning_rate: float = 1e-4, seed: int = 0,
+                       log_every: int = 50, ckpt_root: Optional[str] = None,
+                       ckpt_every: int = 5000, step_offset: int = 0,
+                       alpha: float = 100.0, init_params=None):
+    """ELFVC(-SP) ladder: state-chain scan + α·pred_norm SP aux
+    (reference parallel_compression models.py:274-308)."""
+    from fvc.models.elfvc import elfvc_frame_metrics
 
-    history = []
-    for step in range(steps):
-        idx = jnp.asarray(rng.randint(0, len(dataset), L))
-        frames = data_dev[idx][:, None]  # [L, 1, T, H, W, 3]
-        keys = jax.random.split(
-            jax.random.PRNGKey(seed + 7919 * (step_offset + step)), L)
-        variables, opt_state, metrics = step_fn(
-            variables, opt_state, lambdas, frames, keys)
-        if step % log_every == 0 or step == steps - 1:
-            rec = {"step": step_offset + step, "t": round(time.time(), 1)}
-            m = {k: np.asarray(v) for k, v in metrics.items()
-                 if np.asarray(v).ndim == 1}
-            for i, lvl in enumerate(levels):
-                rec[f"l{lvl}"] = {k: round(float(v[i]), 4)
-                                  for k, v in m.items()
-                                  if k in ("loss", "psnr", "bpp_est",
-                                           "rec_loss")}
-            history.append(rec)
-            print(json.dumps(rec), flush=True)
-        if ckpt_root and (step + 1) % ckpt_every == 0:
-            _save_ladder(ckpt_root, levels, variables,
-                         step_offset + step + 1)
-    if ckpt_root:
-        _save_ladder(ckpt_root, levels, variables, step_offset + steps,
-                     best=True)
-    return variables, history
+    lambdas = jnp.asarray([PSNR_LAMBDAS[l] for l in levels], jnp.float32)
+    sample = jnp.asarray(dataset[0][: gop + 1])
+    state0 = model.init_state(1, sample.shape[1], sample.shape[2])
+
+    if init_params is None:
+        init_params = _stack_trees([
+            model.init(jax.random.PRNGKey(seed + 101 * (i + 1)),
+                       sample[1][None], sample[0][None], state0,
+                       training=True, rng=jax.random.PRNGKey(seed + i))
+            for i in range(len(levels))])
+
+    def loss_fn(params, lam, frames, key):
+        def body(carry, inp):
+            x_ref, st = carry
+            x_cur, k = inp
+            x_rec, st2, lk = model.apply(params, x_cur, x_ref, st,
+                                         training=True, rng=k)
+            m = elfvc_frame_metrics(x_cur, x_rec, lk)
+            return (jax.lax.stop_gradient(x_rec), st2), m
+
+        keys = jax.random.split(key, frames.shape[0] - 1)
+        (_, _), ms = jax.lax.scan(body, (frames[0], state0),
+                                  (frames[1:], keys))
+        loss = jnp.mean(lam * ms["img_loss"] + ms["bpp_est"]
+                        + alpha * ms["pred_norm"])
+        return loss, ms
+
+    return _ladder_loop(loss_fn, init_params, lambdas, levels, dataset,
+                        steps=steps, gop=gop, learning_rate=learning_rate,
+                        seed=seed, log_every=log_every, ckpt_root=ckpt_root,
+                        ckpt_every=ckpt_every, step_offset=step_offset,
+                        batched_gop=False,
+                        log_keys=("loss", "psnr", "bpp_est", "pred_norm"))
+
+
+def train_ladder_ssf(model, dataset, *, levels: Sequence[int],
+                     steps: int = 1000, gop: int = 4,
+                     learning_rate: float = 1e-4, seed: int = 0,
+                     log_every: int = 50, ckpt_root: Optional[str] = None,
+                     ckpt_every: int = 5000, step_offset: int = 0,
+                     init_params=None):
+    """SSF/Base ladder: stateless sequential scan; the learned keyframe
+    branch (when present) trains jointly per level (fvc.train.loop.train_ssf
+    semantics)."""
+    from fvc.models.ssf import inter_bpp_est
+    from fvc.ops.math import bits_from_likelihood, psnr as _psnr
+
+    lambdas = jnp.asarray([PSNR_LAMBDAS[l] for l in levels], jnp.float32)
+    sample = jnp.asarray(dataset[0][: gop + 1])
+    has_keyframe = hasattr(model, "init_all")
+
+    if init_params is None:
+        def one_init(i):
+            key = jax.random.PRNGKey(seed + 101 * (i + 1))
+            kw = dict(training=True, rng=jax.random.PRNGKey(seed + i))
+            if has_keyframe:
+                return model.init(key, sample[1][None], sample[0][None],
+                                  method=model.init_all, **kw)
+            return model.init(key, sample[1][None], sample[0][None], **kw)
+        init_params = _stack_trees([one_init(i) for i in range(len(levels))])
+
+    def loss_fn(params, lam, frames, key):
+        B, H, W = frames.shape[1], frames.shape[2], frames.shape[3]
+
+        def body(x_ref, inp):
+            x_cur, k = inp
+            x_rec, lk = model.apply(params, x_cur, x_ref, training=True,
+                                    rng=k)
+            if "bpp_est" in lk:  # Base-style out dict
+                m = {"img_loss": lk["img_loss"], "bpp_est": lk["bpp_est"],
+                     "psnr": lk["psnr"]}
+            else:  # SSF-style likelihoods
+                bpp, _ = inter_bpp_est(lk, B, H, W)
+                m = {"img_loss": jnp.mean(jnp.square(x_cur - x_rec)),
+                     "bpp_est": bpp, "psnr": _psnr(x_cur, x_rec)}
+            return jax.lax.stop_gradient(x_rec), m
+
+        k0, key = jax.random.split(key)
+        if has_keyframe:
+            x0_hat, lk0 = model.apply(params, frames[0], training=True,
+                                      rng=k0, method=model.forward_keyframe)
+            kf_bpp = (bits_from_likelihood(lk0["keyframe"]["y"])
+                      + bits_from_likelihood(lk0["keyframe"]["z"])) / (B * H * W)
+            kf_loss = (lam * jnp.mean(jnp.square(frames[0] - x0_hat))
+                       + kf_bpp)
+            chain0 = jax.lax.stop_gradient(x0_hat)
+        else:
+            kf_loss = 0.0
+            chain0 = frames[0]
+        keys = jax.random.split(key, frames.shape[0] - 1)
+        _, ms = jax.lax.scan(body, chain0, (frames[1:], keys))
+        return (jnp.mean(lam * ms["img_loss"] + ms["bpp_est"]) + kf_loss,
+                ms)
+
+    return _ladder_loop(loss_fn, init_params, lambdas, levels, dataset,
+                        steps=steps, gop=gop, learning_rate=learning_rate,
+                        seed=seed, log_every=log_every, ckpt_root=ckpt_root,
+                        ckpt_every=ckpt_every, step_offset=step_offset,
+                        batched_gop=False)
 
 
 def resume_ladder(root: str, levels, ref_tree):

@@ -139,13 +139,25 @@ def main():
         probe = _jnp.asarray(
             _S(1, frames=args.gop + 1, height=args.crop, width=args.crop)[0])
         iterpred = args.codec in ("DVC", "RLVC", "RLVC2")
+        elfvc = args.codec.startswith("ELFVC")
+        ssf = args.codec.startswith("SSF") or args.codec.startswith("Base")
 
         def fresh_init(i):
             key = _jax.random.PRNGKey(args.seed + 101 * (i + 1))
+            rng = _jax.random.PRNGKey(args.seed + i)
             if iterpred:
                 st = model.init_state(1, args.crop, args.crop)
                 v = model.init(key, probe[0][None], probe[1][None], st, False,
                                training=False)
+            elif elfvc:
+                st = model.init_state(1, args.crop, args.crop)
+                v = model.init(key, probe[1][None], probe[0][None], st,
+                               training=True, rng=rng)
+            elif ssf:
+                kw = dict(training=True, rng=rng)
+                if hasattr(model, "init_all"):
+                    kw["method"] = model.init_all
+                v = model.init(key, probe[1][None], probe[0][None], **kw)
             else:
                 v = model.init(key, probe, training=False)
             if args.spynet_npy:
@@ -169,19 +181,20 @@ def main():
             if args.spynet_npy:
                 print(f"grafted pretrained SpyNet from {args.spynet_npy}",
                       flush=True)
+        common = dict(levels=levels, steps=args.steps, gop=args.gop,
+                      learning_rate=args.lr, seed=args.seed,
+                      ckpt_root=args.ckpt, ckpt_every=args.ckpt_every,
+                      step_offset=step_offset, init_params=init_stacked,
+                      log_every=args.log_every)
         if iterpred:
-            _ladder.train_ladder_iterpred(
-                model, ds, levels=levels, steps=args.steps, gop=args.gop,
-                learning_rate=args.lr, seed=args.seed, ckpt_root=args.ckpt,
-                ckpt_every=args.ckpt_every, step_offset=step_offset,
-                init_params=init_stacked, log_every=args.log_every)
+            _ladder.train_ladder_iterpred(model, ds, **common)
+        elif elfvc:
+            _ladder.train_ladder_elfvc(model, ds, alpha=args.alpha, **common)
+        elif ssf:
+            _ladder.train_ladder_ssf(model, ds, **common)
         else:
             _ladder.train_ladder_gop(
-                model, cfg, ds, levels=levels, steps=args.steps,
-                gop=args.gop, learning_rate=args.lr, seed=args.seed,
-                ckpt_root=args.ckpt, ckpt_every=args.ckpt_every,
-                step_offset=step_offset, bf16=args.bf16, stage=args.stage,
-                init_params=init_stacked, log_every=args.log_every)
+                model, cfg, ds, bf16=args.bf16, stage=args.stage, **common)
         return
 
     if args.codec.startswith("SSF") or args.codec.startswith("Base"):
