@@ -140,9 +140,14 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
                            training=training, rng=rng)
 
     def loss_fn(params, frames, key):
-        _, outs = code_gop_scan(apply_fn, params, frames, state0,
-                                training=True, rng=key)
-        return jnp.mean(cfg.rate_lambda * outs["img_loss"] + outs["bpp_est"]), outs
+        recons, outs = code_gop_scan(apply_fn, params, frames, state0,
+                                     training=True, rng=key)
+        if cfg.loss_type == "M":  # 1 - MS-SSIM distortion (models.py:460-487)
+            from fvc.train.step import distortion
+            img = distortion(cfg, recons, frames[1:])
+        else:
+            img = jnp.mean(outs["img_loss"])
+        return cfg.rate_lambda * img + jnp.mean(outs["bpp_est"]), outs
 
     @jax.jit
     def step_fn(params, opt_state, frames, key):
@@ -221,6 +226,9 @@ def train_elfvc(model, cfg: CodecConfig, dataset, *,
             x_rec, st2, lk = model.apply(params, x_cur, x_ref, st,
                                          training=True, rng=k)
             m = elfvc_frame_metrics(x_cur, x_rec, lk)
+            if cfg.loss_type == "M":
+                from fvc.train.step import distortion
+                m = {**m, "img_loss": distortion(cfg, x_rec, x_cur)}
             return (jax.lax.stop_gradient(x_rec), st2), m
 
         keys = jax.random.split(key, frames.shape[0] - 1)
@@ -322,6 +330,9 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
                 bpp, _ = inter_bpp_est(lk, B, H, W)
                 m = {"img_loss": jnp.mean(jnp.square(x_cur - x_rec)),
                      "bpp_est": bpp, "psnr": _psnr(x_cur, x_rec)}
+            if cfg.loss_type == "M":
+                from fvc.train.step import distortion
+                m = {**m, "img_loss": distortion(cfg, x_rec, x_cur)}
             return jax.lax.stop_gradient(x_rec), m
 
         k0, key = jax.random.split(key)
@@ -331,7 +342,8 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
                                       rng=k0, method=model.forward_keyframe)
             kf_bpp = (bits_from_likelihood(lk0["keyframe"]["y"])
                       + bits_from_likelihood(lk0["keyframe"]["z"])) / (B * H * W)
-            kf_loss = (cfg.rate_lambda * jnp.mean(jnp.square(frames[0] - x0_hat))
+            from fvc.train.step import distortion
+            kf_loss = (cfg.rate_lambda * distortion(cfg, x0_hat, frames[0])
                        + kf_bpp)
             chain0 = jax.lax.stop_gradient(x0_hat)
         else:

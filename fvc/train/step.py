@@ -39,6 +39,22 @@ def make_optimizer(learning_rate: float = 1e-4, weight_decay: float = 0.0,
     return optax.chain(*tx)
 
 
+def distortion(cfg: CodecConfig, x_rec, x_tgt):
+    """The reference's loss_type dispatch (models.py:460-487 calc_metric /
+    init_training_params): 'P' -> MSE with the PSNR lambda ladder, 'M' ->
+    1 - MS-SSIM with the [8,16,32,64] ladder. Inputs broadcast-stack to
+    [N,H,W,C]; needs min(H,W) >= 176 for the 5-scale window (train crops
+    are 256x256)."""
+    if cfg.loss_type == "M":
+        from fvc.ops.ms_ssim import ms_ssim
+
+        H, W, C = x_rec.shape[-3:]
+        return jnp.mean(1.0 - ms_ssim(
+            x_rec.reshape(-1, H, W, C).astype(jnp.float32),
+            x_tgt.reshape(-1, H, W, C).astype(jnp.float32)))
+    return jnp.mean(jnp.square(x_rec - x_tgt))
+
+
 def lsvc_loss_fn(model, cfg: CodecConfig, *, bf16: bool = False,
                  stage: str = "REC"):
     """Rate-distortion loss for a batch of GOPs: frames [B, T, H, W, 3]
@@ -62,9 +78,11 @@ def lsvc_loss_fn(model, cfg: CodecConfig, *, bf16: bool = False,
         def per_gop(x, r):
             ctx = bf16_compute() if bf16 else compute_in(None)
             with ctx:
-                _, out = model.apply(params, x, training=True, rng=r)
+                com, out = model.apply(params, x, training=True, rng=r)
             if stage == "REC":
-                dist, rate = out["rec_loss"], out["bpp_est"]
+                dist = (distortion(cfg, com, x[1:]) if cfg.loss_type == "M"
+                        else out["rec_loss"])
+                rate = out["bpp_est"]
             else:  # WP/MC: residual rate detached, models.py:1408
                 dist = out["warp_loss"] if stage == "WP" else out["mc_loss"]
                 rate = out["bpp_mv"] + jax.lax.stop_gradient(out["bpp_res"])

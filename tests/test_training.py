@@ -221,3 +221,35 @@ def test_ladder_vmapped_levels_separate_and_resume(tmp_path):
     restored = jax.tree_util.tree_leaves(stacked)[0]
     np.testing.assert_array_equal(np.asarray(restored[0]),
                                   np.asarray(jax.device_get(leaf[0])))
+
+
+def test_msssim_loss_type_trains():
+    """loss_type='M' (models.py:460-487): distortion = 1 - MS-SSIM with the
+    [8,16,32,64] lambda ladder; gradients must be finite and differ from the
+    MSE objective's."""
+    import jax.numpy as jnp
+    from fvc.models.lsvc import LSVC
+    from fvc.train.step import distortion, lsvc_loss_fn
+
+    cfg_m = CodecConfig.from_name("LSVC", loss_type="M", compression_level=2)
+    cfg_p = CodecConfig.from_name("LSVC", loss_type="P", compression_level=2)
+    assert cfg_m.rate_lambda != cfg_p.rate_lambda  # MSSSIM ladder selected
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.rand(2, 192, 192, 3).astype(np.float32))
+    y = jnp.clip(x + 0.05 * jnp.asarray(r.randn(2, 192, 192, 3)), 0, 1)
+    d_m = float(distortion(cfg_m, y, x))
+    d_p = float(distortion(cfg_p, y, x))
+    assert 0.0 < d_m < 1.0 and abs(d_m - d_p) > 1e-4
+
+    model = LSVC(cfg_m)
+    frames = jnp.asarray(r.rand(1, 3, 192, 192, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), frames[0],
+                           training=False)
+    loss_fn = lsvc_loss_fn(model, cfg_m)
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables, frames, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                               for g in jax.tree_util.tree_leaves(grads))))
+    assert np.isfinite(gnorm) and gnorm > 0.0
