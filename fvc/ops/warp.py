@@ -35,8 +35,6 @@ indexed by (flow, scale) with border padding.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -126,49 +124,46 @@ def _warp_window(img: jax.Array, flow: jax.Array, radius: int) -> jax.Array:
     return out.transpose(0, 2, 3, 1)
 
 
-@functools.partial(jax.checkpoint, static_argnums=(3,))
 def _window_sample_chw(chw: jax.Array, px: jax.Array, py: jax.Array,
                        radius: int) -> jax.Array:
     """Bilinear-sample `chw` [B,C,H,W] at clipped float pixel coords px/py
-    [B,H,W] with the two-pass windowed tent-accumulation scheme. Shared by
+    [B,H,W] with the two-pass windowed shift-and-select scheme. Shared by
     flow_warp and scale_space_warp (which differ only in how the source
-    coordinates derive from the flow).
-
-    Each pass computes out[i] = sum_d img[i+d] * tent(p - i - d) over the
-    (2R+2)-slice window, where tent(t) = max(0, 1 - |t|) is exactly the
-    bilinear weight: only the floor(p)-i and floor(p)-i+1 taps are nonzero,
-    so the sum IS the two-tap lerp. One fused-multiply-add stream per slice
-    replaces the previous two where-selects per slice — half the HBM slice
-    traffic and no compares (the previous formulation's cost, measured on
-    v5e, was bandwidth-bound). Coordinates beyond the radius clamp to the
-    window edge (tap R or -R keeps its tent weight via the coordinate clamp
-    below), matching the documented window-clamp semantics."""
+    coordinates derive from the flow)."""
     R = radius
     B, C, H, W = chw.shape
-    j = jnp.arange(W, dtype=px.dtype)[None, None, :]
-    i = jnp.arange(H, dtype=py.dtype)[None, :, None]
-    # clamp displacements into the window (same clamp the select scheme
-    # applied to dy/dx): sample position relative to the window center,
-    # keeping the fractional part so in-window results are bit-identical
-    ty = jnp.clip(py - i, jnp.floor(py - i).clip(-R, R),
-                  jnp.floor(py - i).clip(-R, R) + 1.0)[:, None]  # [B,1,H,W]
-    tx = jnp.clip(px - j, jnp.floor(px - j).clip(-R, R),
-                  jnp.floor(px - j).clip(-R, R) + 1.0)[:, None]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = (px - x0)[:, None].astype(chw.dtype)       # [B,1,H,W]
+    wy = (py - y0)[:, None].astype(chw.dtype)
+    j = jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    i = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    dy = jnp.clip(y0.astype(jnp.int32) - i, -R, R)[:, None]   # [B,1,H,W]
+    dx = jnp.clip(x0.astype(jnp.int32) - j, -R, R)[:, None]
 
-    # vertical pass: acc += img[i+d] * tent(ty - d)
+    # vertical pass: V0[i,j] = img[i+dy, j], V1 = img[i+dy+1, j]
     pad = jnp.pad(chw, ((0, 0), (0, 0), (R, R + 1), (0, 0)), mode="edge")
-    vy = jnp.zeros_like(chw)
-    for d in range(-R, R + 1 + 1):
-        w = jnp.maximum(1.0 - jnp.abs(ty - d), 0.0).astype(chw.dtype)
-        vy = vy + pad[:, :, R + d:R + d + H] * w
+    v0 = pad[:, :, R:R + H]
+    v1 = pad[:, :, R + 1:R + 1 + H]
+    for d in range(-R, R + 1):
+        if d == 0:
+            continue
+        m = dy == d
+        v0 = jnp.where(m, pad[:, :, R + d:R + d + H], v0)
+        v1 = jnp.where(m, pad[:, :, R + d + 1:R + d + 1 + H], v1)
+    vy = (v0 + (v1 - v0) * wy).astype(chw.dtype)
 
     # horizontal pass on the vertically-lerped field
     padh = jnp.pad(vy, ((0, 0), (0, 0), (0, 0), (R, R + 1)), mode="edge")
-    out = jnp.zeros_like(vy)
-    for d in range(-R, R + 1 + 1):
-        w = jnp.maximum(1.0 - jnp.abs(tx - d), 0.0).astype(vy.dtype)
-        out = out + padh[..., R + d:R + d + W] * w
-    return out
+    h0 = padh[..., R:R + W]
+    h1 = padh[..., R + 1:R + 1 + W]
+    for d in range(-R, R + 1):
+        if d == 0:
+            continue
+        m = dx == d
+        h0 = jnp.where(m, padh[..., R + d:R + d + W], h0)
+        h1 = jnp.where(m, padh[..., R + d + 1:R + d + 1 + W], h1)
+    return h0 + (h1 - h0) * wx
 
 
 def flow_warp(img: jax.Array, flow: jax.Array, *, method: str | None = None,
