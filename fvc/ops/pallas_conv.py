@@ -17,6 +17,13 @@ be 8-aligned on TPU; value slices relayout via sublane/lane rotates).
 
 Fallback: fvc.ops.conv.conv2d (XLA). Numerics: bf16 operands, f32
 accumulation — the same contract as conv2d under the bf16 policy.
+
+Measured (v5e, [6,320,480,128]->128, bf16, chained in-program iters): XLA
+conv 50.6 TFLOP/s; this kernel 46-49 TFLOP/s across tile_h 8/16/32 — AT
+PARITY, so the transform stacks keep the XLA conv (no wiring). Beating the
+emitter would need double-buffered halo DMA + an in-VMEM patch matrix to
+amortize the per-tap relayout rotates; kept as infrastructure for that
+follow-up.
 """
 
 from __future__ import annotations

@@ -70,3 +70,21 @@ def test_fused_mebasic_matches_xla_interior():
     assert out.shape == ref.shape
     err = np.abs(np.asarray(out - ref))
     assert err[:, 15:-15, 15:-15].max() < 1e-5
+
+
+def test_conv3x3_pallas_matches_xla():
+    """Direct 3x3 stride-1 conv kernel (fvc.ops.pallas_conv): 9 shifted MXU
+    matmuls over DMA'd halo slabs must match the XLA conv, including the
+    row/col tile seams and non-multiple H/W."""
+    from fvc.ops.pallas_conv import conv3x3_pallas
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 21, 27, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(32).astype(np.float32))
+    got = conv3x3_pallas(x, w, b, tile_h=4, tile_w=16, interpret=True)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    assert got.shape == ref.shape
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-4
