@@ -42,6 +42,16 @@ def frames_spec(mesh: Mesh, *, batched: bool = True, spatial: bool = True):
     return NamedSharding(mesh, P(None, sp, None, None))
 
 
+def wavefront_spec(mesh: Mesh):
+    """PartitionSpec for the un-batched LSVC tree forward input [T, H, W, C]
+    with the FRAME axis sharded over 'data' — wavefront (tree-layer)
+    parallelism (SURVEY §2.5): frames within a tree layer are the batch dim
+    of that layer's convs/flow/warp, so sharding the frame axis spreads each
+    layer's batched compute across chips; the parent-frame gathers between
+    layers (models.py:1370 semantics) lower to XLA collectives over ICI."""
+    return NamedSharding(mesh, P("data", None, None, None))
+
+
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 

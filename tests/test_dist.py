@@ -64,6 +64,31 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
 
 
+def test_wavefront_frame_sharding_matches_unsharded():
+    """LSVC tree forward with the FRAME axis sharded over 'data' (wavefront
+    parallelism, SURVEY §2.5) must reproduce the unsharded forward."""
+    from fvc.dist.mesh import make_mesh, replicated, wavefront_spec
+    from fvc.models.registry import get_codec_model
+
+    model, _ = get_codec_model("LSVC")
+    gop, H, W = 3, 64, 64  # gop+1 = 4 frames over the 2-device 'data' axis
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(gop + 1, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+    com_ref, out_ref = model.apply(variables, x, training=False)
+
+    mesh = make_mesh(n_data=2, n_spatial=1, devices=jax.devices()[:2])
+    fwd = jax.jit(lambda v, xx: model.apply(v, xx, training=False),
+                  in_shardings=(replicated(mesh), wavefront_spec(mesh)))
+    com_wf, out_wf = fwd(jax.device_put(variables, replicated(mesh)),
+                         jax.device_put(x, wavefront_spec(mesh)))
+
+    np.testing.assert_allclose(np.asarray(com_wf), np.asarray(com_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(out_wf["bpp_est"]),
+                               float(out_ref["bpp_est"]), rtol=1e-5)
+
+
 def test_multihost_helpers_single_process():
     from fvc.dist.multihost import (
         allgather_metrics, initialize, shard_gops_across_hosts,
