@@ -32,6 +32,13 @@ import time
 import numpy as np
 
 BASELINE_ENCDEC_FPS = 19.0  # RTX 3090 enc+dec serial, plot_hermes.py:678-691
+# Decode-only baseline from the SAME source table as the headline (3090
+# column of the enc/dec split, plot_hermes.py:678-691). NB the reference
+# also carries a faster 3090 decode figure (0.010 s/frame = 100 fps,
+# simulation.py:137 / plot_hermes.py:737) — both are in BASELINE.md; the
+# stderr line reports the ratio against that one too.
+BASELINE_DEC_FPS = 46.0
+BASELINE_DEC_FPS_ALT = 100.0
 
 
 def main():
@@ -49,6 +56,12 @@ def main():
                          "is not a property of this program.")
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--decode", action="store_true",
+                    help="also measure the decode-only program (tree "
+                         "reconstruction from entropy-decoded latents, "
+                         "LSVC.reconstruct — the TreeFrameReconDecompress "
+                         "device half); reported on stderr, headline "
+                         "metric unchanged")
     ap.add_argument("--batch", type=int, default=0, metavar="B",
                     help="also measure B concurrent streams vmapped into one "
                          "program (serving throughput per chip; the headline "
@@ -135,6 +148,44 @@ def main():
           f"compile={compile_s:.1f}s gop_time_min={sec_per_gop * 1e3:.0f}ms "
           f"chain_times={[round(t, 2) for t in times]} "
           f"bpp={float(bpp):.4f} psnr={float(psnr):.2f}", file=sys.stderr)
+
+    if args.decode:
+        # Latents from one eval-forward encode; the chained decode feeds the
+        # last reconstruction back as the next GOP's I-frame so iterations
+        # serialize on a real data dependency (same contract as the encdec
+        # chain above).
+        lat = jax.jit(
+            lambda v, xx: model.apply(v, xx, method=model.collect_latents)
+        )(variables, x)
+        mv_q, feat_q = lat["mv_q"], lat["feat_q"]
+
+        def dec_chain(variables, x0, mv_q, feat_q):
+            def body(_, cur):
+                ctx = compute_in(None) if args.fp32 else bf16_compute()
+                with ctx:
+                    com = model.apply(variables, cur, mv_q, feat_q,
+                                      method=model.reconstruct)
+                return com[-1]
+            return jax.lax.fori_loop(0, K, body, x0)
+
+        dec_jit = jax.jit(dec_chain)
+        jax.block_until_ready(dec_jit(variables, x[0], mv_q, feat_q))
+        td = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out_d = dec_jit(variables, x[0], mv_q, feat_q)
+            _ = float(jnp.ravel(out_d)[0])
+            td.append(time.perf_counter() - t0)
+        fps_d = gop / (min(td) / K)
+        print(json.dumps({
+            "metric": f"lsvc_{H}x{W}_pframe_decode_fps_per_chip",
+            "value": round(fps_d, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps_d / BASELINE_DEC_FPS, 3),
+        }), file=sys.stderr)
+        print(f"# decode-only: gop_time_min={min(td) / K * 1e3:.0f}ms "
+              f"vs_3090_sim_table={fps_d / BASELINE_DEC_FPS_ALT:.2f}x "
+              f"all={[round(t, 2) for t in td]}", file=sys.stderr)
 
     if args.batch:
         B = args.batch
