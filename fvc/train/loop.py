@@ -396,26 +396,19 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
     return variables, history
 
 
-def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
-           learning_rate: float = 1e-5, encoder_only: bool = True, seed: int = 0,
-           init_params=None):
-    """Per-video online adaptation (train.py:315-401 / eval.py:357-473
-    '--evolve'): fine-tune on the video being coded; optionally restrict to
-    encoder-side parameters (the decoder stays fixed so the bitstream remains
-    decodable by an unmodified receiver). `init_params` starts from a trained
-    checkpoint (the reference always evolves from a loaded model, eval.py:360)."""
-    import jax.numpy as jnp
-
-    x = jnp.asarray(clip[: gop + 1])
-    variables = init_params
-    if variables is None:
-        variables = model.init(jax.random.PRNGKey(seed), x, training=True,
-                               rng=jax.random.PRNGKey(seed + 1))
-
+def _evolve_core(loss_fn, variables, *, steps: int, learning_rate: float,
+                 encoder_only: bool, seed: int):
+    """Shared evolve driver: encoder-only partition + adam + jitted steps.
+    Encoder-side params are those the receiver never needs — analysis
+    transforms ('*encoder*', '*enc_*') and the transmitted-flow SpyNet
+    ('optic_flow'); everything the decoder evaluates (synthesis nets,
+    hyper/scale decoders, entropy tables, shared flow predictors) stays
+    frozen so an unmodified receiver can still decode the bitstream."""
     if encoder_only:
         def label(path, _):
-            keys = "".join(str(p) for p in path)
-            enc = any(k in keys for k in ("encoder", "optic_flow", "Encoder"))
+            keys = "/".join(str(p) for p in path)
+            enc = any(k in keys for k in ("encoder", "Encoder", "enc_",
+                                          "optic_flow"))
             return "train" if enc else "freeze"
         partition = jax.tree_util.tree_map_with_path(label, variables)
         optimizer = optax.multi_transform(
@@ -427,10 +420,8 @@ def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
 
     @jax.jit
     def step_fn(params, opt_state, key):
-        def loss_fn(p):
-            _, out = model.apply(p, x, training=True, rng=key)
-            return cfg.rate_lambda * out["rec_loss"] + out["bpp_est"], out
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, out), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, key), has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -440,6 +431,104 @@ def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
             variables, opt_state, jax.random.PRNGKey(seed + 2 + s))
         history.append(float(loss))
     return variables, history
+
+
+def _family_clip_loss(name: str, model, cfg: CodecConfig, x):
+    """Single-clip RD loss for any codec family — the reference's per-family
+    forward signatures (models.py:260-397) behind one loss_fn(params, key).
+    `x`: [T, H, W, 3] clip, frame 0 the reference/I-frame."""
+    lam = cfg.rate_lambda
+
+    if name in ("DVC", "RLVC", "RLVC2"):
+        from fvc.gop.engine import code_gop_scan
+
+        state0 = model.init_state(1, x.shape[1], x.shape[2])
+        frames = x[:, None]
+
+        def apply_fn(params, x_ref, x_cur, st, flag, *, training, rng):
+            return model.apply(params, x_ref, x_cur, st, flag,
+                               training=training, rng=rng)
+
+        def loss_fn(p, key):
+            _, outs = code_gop_scan(apply_fn, p, frames, state0,
+                                    training=True, rng=key)
+            return jnp.mean(lam * outs["img_loss"] + outs["bpp_est"]), outs
+        return loss_fn
+
+    if name.startswith("ELFVC"):
+        from fvc.models.elfvc import elfvc_frame_metrics
+
+        state0 = model.init_state(1, x.shape[1], x.shape[2])
+        frames = x[:, None]
+
+        def loss_fn(p, key):
+            def body(carry, inp):
+                x_ref, st = carry
+                x_cur, k = inp
+                x_rec, st2, lk = model.apply(p, x_cur, x_ref, st,
+                                             training=True, rng=k)
+                m = elfvc_frame_metrics(x_cur, x_rec, lk)
+                return (jax.lax.stop_gradient(x_rec), st2), m
+
+            keys = jax.random.split(key, frames.shape[0] - 1)
+            (_, _), ms = jax.lax.scan(body, (frames[0], state0),
+                                      (frames[1:], keys))
+            return jnp.mean(lam * ms["img_loss"] + ms["bpp_est"]), ms
+        return loss_fn
+
+    if name.startswith("SSF") or name.startswith("Base"):
+        from fvc.models.ssf import inter_bpp_est
+        from fvc.ops.math import psnr as _psnr
+
+        frames = x[:, None]
+        B, H, W = 1, x.shape[1], x.shape[2]
+
+        def loss_fn(p, key):
+            def body(x_ref, inp):
+                x_cur, k = inp
+                x_rec, lk = model.apply(p, x_cur, x_ref, training=True,
+                                        rng=k)
+                if "bpp_est" in lk:  # Base-style out dict
+                    m = {"img_loss": lk["img_loss"],
+                         "bpp_est": lk["bpp_est"]}
+                else:
+                    bpp, _ = inter_bpp_est(lk, B, H, W)
+                    m = {"img_loss": jnp.mean(jnp.square(x_cur - x_rec)),
+                         "bpp_est": bpp}
+                return jax.lax.stop_gradient(x_rec), m
+
+            keys = jax.random.split(key, frames.shape[0] - 1)
+            _, ms = jax.lax.scan(body, frames[0], (frames[1:], keys))
+            return jnp.mean(lam * ms["img_loss"] + ms["bpp_est"]), ms
+        return loss_fn
+
+    # whole-GOP apply (LSVC family)
+    def loss_fn(p, key):
+        _, out = model.apply(p, x, training=True, rng=key)
+        return lam * out["rec_loss"] + out["bpp_est"], out
+    return loss_fn
+
+
+def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
+           learning_rate: float = 1e-5, encoder_only: bool = True, seed: int = 0,
+           init_params=None, codec_name: str = "LSVC"):
+    """Per-video online adaptation (train.py:315-401 / eval.py:357-473
+    '--evolve'): fine-tune on the video being coded; optionally restrict to
+    encoder-side parameters (the decoder stays fixed so the bitstream remains
+    decodable by an unmodified receiver). `init_params` starts from a trained
+    checkpoint (the reference always evolves from a loaded model, eval.py:360).
+    `codec_name` selects the family loss (every family supported, matching the
+    reference whose evolve drives parallel_compression for any codec)."""
+    x = jnp.asarray(clip[: gop + 1])
+    variables = init_params
+    if variables is None:
+        from fvc.train.evaluate import init_family_variables
+        variables = init_family_variables(codec_name, model, x)
+
+    loss_fn = _family_clip_loss(codec_name, model, cfg, x)
+    return _evolve_core(loss_fn, variables, steps=steps,
+                        learning_rate=learning_rate,
+                        encoder_only=encoder_only, seed=seed)
 
 
 # ---------------------------------------------------------------------------

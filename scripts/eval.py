@@ -110,16 +110,16 @@ def main():
         if args.evolve:
             # per-video online adaptation (reference eval.py:357-473):
             # encoder-side fine-tune on the clip being coded, decoder fixed,
-            # then evaluate the adapted model on that clip only.
-            if not args.codec.startswith("LSVC"):
-                raise SystemExit("--evolve currently supports the LSVC family")
+            # then evaluate the adapted model on that clip only. Every family
+            # is supported (the reference evolve drives parallel_compression
+            # for any codec).
             from fvc.train.loop import evolve as evolve_fn
             results = []
             for g in gops:
                 adapted, hist = evolve_fn(
                     model, cfg, np.asarray(g), steps=args.evolve,
                     gop=g.shape[0] - 1, learning_rate=args.evolve_lr,
-                    init_params=variables)
+                    init_params=variables, codec_name=args.codec)
                 print(f"# evolve loss {hist[0]:.3f} -> {hist[-1]:.3f}",
                       file=sys.stderr)
                 results += eval_family_on_gops(args.codec, model, adapted, [g],

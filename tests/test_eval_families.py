@@ -65,6 +65,33 @@ def test_evolve_from_checkpoint_encoder_only():
                        ("decoder", "bit_estimator", "warpnet")), key
 
 
+def test_evolve_every_family():
+    """evolve supports every codec family (the reference evolve drives
+    parallel_compression for any codec, train.py:315-401): finite history,
+    decoder-side params frozen."""
+    import jax
+
+    from fvc.train.loop import evolve
+
+    for name, hw in (("DVC", 64), ("SSF", 128), ("ELFVC", 128)):
+        model, cfg = get_codec_model(name, compression_level=2)
+        g = _gops(t=3, hw=hw)[0]
+        variables = init_family_variables(name, model, g)
+        adapted, hist = evolve(model, cfg, g, steps=2, gop=2,
+                               learning_rate=1e-3, init_params=variables,
+                               codec_name=name)
+        assert np.isfinite(hist).all(), (name, hist)
+        leaf_delta = jax.tree_util.tree_flatten_with_path(jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a - b)).max()),
+            variables, adapted))[0]
+        changed = {"".join(str(p) for p in path)
+                   for path, d in leaf_delta if d > 0}
+        assert changed, name
+        for key in changed:
+            assert not any(s in key for s in
+                           ("decoder", "bit_estimator", "warpnet")), (name, key)
+
+
 def test_eval_rlvc_bidirectional_window():
     """--bP: RLVC GOP window with the I-frame mid-sequence; both halves coded
     with independent recurrent chains; real bits cover both directions."""
