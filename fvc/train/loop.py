@@ -433,10 +433,17 @@ def _evolve_core(loss_fn, variables, *, steps: int, learning_rate: float,
     return variables, history
 
 
-def _family_clip_loss(name: str, model, cfg: CodecConfig, x):
-    """Single-clip RD loss for any codec family — the reference's per-family
-    forward signatures (models.py:260-397) behind one loss_fn(params, key).
-    `x`: [T, H, W, 3] clip, frame 0 the reference/I-frame."""
+def _family_clip_loss(name: str, model, cfg: CodecConfig, x,
+                      alpha: float = 100.0):
+    """Single-clip RD loss for any single/sequential codec family — the
+    reference's per-family forward signatures (models.py:260-397) behind one
+    loss_fn(params, key). `x`: [T, H, W, 3] clip, frame 0 the
+    reference/I-frame. Distortion follows cfg.loss_type (the same
+    `distortion` dispatch the training loops use); `alpha` is the ELFVC-SP
+    pred-norm aux weight (reference train.py --alpha). MCVC adaptation is
+    the OLFT loop (train_olft), not evolve."""
+    from fvc.train.step import distortion
+
     lam = cfg.rate_lambda
 
     if name in ("DVC", "RLVC", "RLVC2"):
@@ -450,9 +457,11 @@ def _family_clip_loss(name: str, model, cfg: CodecConfig, x):
                                training=training, rng=rng)
 
         def loss_fn(p, key):
-            _, outs = code_gop_scan(apply_fn, p, frames, state0,
-                                    training=True, rng=key)
-            return jnp.mean(lam * outs["img_loss"] + outs["bpp_est"]), outs
+            recons, outs = code_gop_scan(apply_fn, p, frames, state0,
+                                         training=True, rng=key)
+            img = (distortion(cfg, recons, frames[1:])
+                   if cfg.loss_type == "M" else jnp.mean(outs["img_loss"]))
+            return lam * img + jnp.mean(outs["bpp_est"]), outs
         return loss_fn
 
     if name.startswith("ELFVC"):
@@ -468,17 +477,20 @@ def _family_clip_loss(name: str, model, cfg: CodecConfig, x):
                 x_rec, st2, lk = model.apply(p, x_cur, x_ref, st,
                                              training=True, rng=k)
                 m = elfvc_frame_metrics(x_cur, x_rec, lk)
+                if cfg.loss_type == "M":
+                    m = {**m, "img_loss": distortion(cfg, x_rec, x_cur)}
                 return (jax.lax.stop_gradient(x_rec), st2), m
 
             keys = jax.random.split(key, frames.shape[0] - 1)
             (_, _), ms = jax.lax.scan(body, (frames[0], state0),
                                       (frames[1:], keys))
-            return jnp.mean(lam * ms["img_loss"] + ms["bpp_est"]), ms
+            return jnp.mean(lam * ms["img_loss"] + ms["bpp_est"]
+                            + alpha * ms["pred_norm"]), ms
         return loss_fn
 
-    if name.startswith("SSF") or name.startswith("Base"):
+    if (name.startswith("SSF") or name.startswith("Base")
+            or name == "DVC-pretrained"):
         from fvc.models.ssf import inter_bpp_est
-        from fvc.ops.math import psnr as _psnr
 
         frames = x[:, None]
         B, H, W = 1, x.shape[1], x.shape[2]
@@ -489,12 +501,13 @@ def _family_clip_loss(name: str, model, cfg: CodecConfig, x):
                 x_rec, lk = model.apply(p, x_cur, x_ref, training=True,
                                         rng=k)
                 if "bpp_est" in lk:  # Base-style out dict
-                    m = {"img_loss": lk["img_loss"],
-                         "bpp_est": lk["bpp_est"]}
+                    m = {"img_loss": lk["img_loss"], "bpp_est": lk["bpp_est"]}
                 else:
                     bpp, _ = inter_bpp_est(lk, B, H, W)
                     m = {"img_loss": jnp.mean(jnp.square(x_cur - x_rec)),
                          "bpp_est": bpp}
+                if cfg.loss_type == "M":
+                    m = {**m, "img_loss": distortion(cfg, x_rec, x_cur)}
                 return jax.lax.stop_gradient(x_rec), m
 
             keys = jax.random.split(key, frames.shape[0] - 1)
@@ -502,16 +515,22 @@ def _family_clip_loss(name: str, model, cfg: CodecConfig, x):
             return jnp.mean(lam * ms["img_loss"] + ms["bpp_est"]), ms
         return loss_fn
 
-    # whole-GOP apply (LSVC family)
-    def loss_fn(p, key):
-        _, out = model.apply(p, x, training=True, rng=key)
-        return lam * out["rec_loss"] + out["bpp_est"], out
-    return loss_fn
+    if name.startswith("LSVC"):  # whole-GOP apply
+        def loss_fn(p, key):
+            com, out = model.apply(p, x, training=True, rng=key)
+            img = (distortion(cfg, com, x[1:]) if cfg.loss_type == "M"
+                   else out["rec_loss"])
+            return lam * img + out["bpp_est"], out
+        return loss_fn
+
+    raise ValueError(
+        f"evolve does not support {name!r}: multiview MCVC adapts via the "
+        f"OLFT loop (train_olft) and IFrame is intra-only")
 
 
 def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
            learning_rate: float = 1e-5, encoder_only: bool = True, seed: int = 0,
-           init_params=None, codec_name: str = "LSVC"):
+           init_params=None, codec_name: str = "LSVC", alpha: float = 100.0):
     """Per-video online adaptation (train.py:315-401 / eval.py:357-473
     '--evolve'): fine-tune on the video being coded; optionally restrict to
     encoder-side parameters (the decoder stays fixed so the bitstream remains
@@ -523,9 +542,9 @@ def evolve(model, cfg: CodecConfig, clip, *, steps: int = 10, gop: int = 4,
     variables = init_params
     if variables is None:
         from fvc.train.evaluate import init_family_variables
-        variables = init_family_variables(codec_name, model, x)
+        variables = init_family_variables(codec_name, model, x, seed=seed)
 
-    loss_fn = _family_clip_loss(codec_name, model, cfg, x)
+    loss_fn = _family_clip_loss(codec_name, model, cfg, x, alpha=alpha)
     return _evolve_core(loss_fn, variables, steps=steps,
                         learning_rate=learning_rate,
                         encoder_only=encoder_only, seed=seed)

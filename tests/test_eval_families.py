@@ -91,6 +91,12 @@ def test_evolve_every_family():
             assert not any(s in key for s in
                            ("decoder", "bit_estimator", "warpnet")), (name, key)
 
+    # unsupported families fail with a clear error (MCVC adapts via OLFT)
+    from fvc.train.loop import _family_clip_loss
+    model, cfg = get_codec_model("MCVC-IA", num_views=1)
+    with pytest.raises(ValueError, match="OLFT"):
+        _family_clip_loss("MCVC-IA", model, cfg, _gops(t=3, hw=128)[0])
+
 
 def test_eval_rlvc_bidirectional_window():
     """--bP: RLVC GOP window with the I-frame mid-sequence; both halves coded
