@@ -22,7 +22,7 @@ import optax
 
 from fvc.core.config import CodecConfig
 from fvc.train.checkpoint import save_checkpoint
-from fvc.train.step import make_optimizer
+from fvc.train.step import distortion, make_optimizer
 
 
 def train_single_view(model, cfg: CodecConfig, dataset, *,
@@ -143,7 +143,6 @@ def train_iterpred(model, cfg: CodecConfig, dataset, *,
         recons, outs = code_gop_scan(apply_fn, params, frames, state0,
                                      training=True, rng=key)
         if cfg.loss_type == "M":  # 1 - MS-SSIM distortion (models.py:460-487)
-            from fvc.train.step import distortion
             img = distortion(cfg, recons, frames[1:])
         else:
             img = jnp.mean(outs["img_loss"])
@@ -227,7 +226,6 @@ def train_elfvc(model, cfg: CodecConfig, dataset, *,
                                          training=True, rng=k)
             m = elfvc_frame_metrics(x_cur, x_rec, lk)
             if cfg.loss_type == "M":
-                from fvc.train.step import distortion
                 m = {**m, "img_loss": distortion(cfg, x_rec, x_cur)}
             return (jax.lax.stop_gradient(x_rec), st2), m
 
@@ -331,7 +329,6 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
                 m = {"img_loss": jnp.mean(jnp.square(x_cur - x_rec)),
                      "bpp_est": bpp, "psnr": _psnr(x_cur, x_rec)}
             if cfg.loss_type == "M":
-                from fvc.train.step import distortion
                 m = {**m, "img_loss": distortion(cfg, x_rec, x_cur)}
             return jax.lax.stop_gradient(x_rec), m
 
@@ -342,7 +339,6 @@ def train_ssf(model, cfg: CodecConfig, dataset, *,
                                       rng=k0, method=model.forward_keyframe)
             kf_bpp = (bits_from_likelihood(lk0["keyframe"]["y"])
                       + bits_from_likelihood(lk0["keyframe"]["z"])) / (B * H * W)
-            from fvc.train.step import distortion
             kf_loss = (cfg.rate_lambda * distortion(cfg, x0_hat, frames[0])
                        + kf_bpp)
             chain0 = jax.lax.stop_gradient(x0_hat)
@@ -442,7 +438,6 @@ def _family_clip_loss(name: str, model, cfg: CodecConfig, x,
     `distortion` dispatch the training loops use); `alpha` is the ELFVC-SP
     pred-norm aux weight (reference train.py --alpha). MCVC adaptation is
     the OLFT loop (train_olft), not evolve."""
-    from fvc.train.step import distortion
 
     lam = cfg.rate_lambda
 
