@@ -53,10 +53,20 @@ def _ckpt_dir(root: str, level: int) -> str:
 def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
                  steps, gop, learning_rate, seed, log_every, ckpt_root,
                  ckpt_every, step_offset, batched_gop: bool,
-                 log_keys=("loss", "psnr", "bpp_est")):
+                 log_keys=("loss", "psnr", "bpp_est"),
+                 spike_factor: float = 10.0):
     """Shared ladder driver. loss_fn(params, lam, frames, key) ->
     (scalar, metrics). `batched_gop`: frames per level are [1,T,H,W,3]
-    (whole-GOP models) vs [T,1,H,W,3] (sequential scan models)."""
+    (whole-GOP models) vs [T,1,H,W,3] (sequential scan models).
+
+    Per-level divergence rollback: unclipped Adam under RD lambdas can walk
+    a level into a collapsed state it does not recover from (observed: one
+    ladder level spiking loss 2 -> 350 with PSNR -> 4 while its siblings
+    trained on). At every log point a level whose loss is non-finite or >
+    spike_factor x its trailing median is restored — params AND optimizer
+    state — from the last all-healthy snapshot; the other levels are
+    untouched. Snapshots live on device (one extra copy of the stacked
+    params)."""
     L = len(levels)
     optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = jax.vmap(optimizer.init)(variables)
@@ -79,8 +89,18 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
     data_dev = jnp.asarray(stackd[:, None] if batched_gop
                            else stackd[:, :, None])
 
+    def _restore_levels(cur, good, bad_mask):
+        sel = jnp.asarray(bad_mask)
+
+        def pick(c, g):
+            m = sel.reshape((L,) + (1,) * (c.ndim - 1)) if c.ndim else sel
+            return jnp.where(m, g, c)
+        return jax.tree_util.tree_map(pick, cur, good)
+
     rng = np.random.RandomState(seed)
     history = []
+    good_vars, good_opt = variables, opt_state
+    recent = [[] for _ in range(L)]  # trailing logged losses per level
     for step in range(steps):
         idx = jnp.asarray(rng.randint(0, len(dataset), L))  # per-level clip
         frames = data_dev[idx]
@@ -94,6 +114,21 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
             for i, lvl in enumerate(levels):
                 rec[f"l{lvl}"] = {k: round(float(m[k][i]), 4)
                                   for k in log_keys if k in m}
+            # ---- divergence rollback (see docstring) ----
+            losses = np.asarray(m["loss"], np.float64)
+            bad = np.zeros(L, bool)
+            for i in range(L):
+                med = np.median(recent[i]) if recent[i] else np.inf
+                bad[i] = (not np.isfinite(losses[i])
+                          or losses[i] > spike_factor * med)
+            if bad.any():
+                variables = _restore_levels(variables, good_vars, bad)
+                opt_state = _restore_levels(opt_state, good_opt, bad)
+                rec["rollback"] = [levels[i] for i in range(L) if bad[i]]
+            for i in range(L):
+                if not bad[i]:
+                    recent[i] = (recent[i] + [losses[i]])[-5:]
+            good_vars, good_opt = variables, opt_state
             history.append(rec)
             print(json.dumps(rec), flush=True)
         if ckpt_root and (step + 1) % ckpt_every == 0:
