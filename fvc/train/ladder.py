@@ -63,10 +63,12 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
     a level into a collapsed state it does not recover from (observed: one
     ladder level spiking loss 2 -> 350 with PSNR -> 4 while its siblings
     trained on). At every log point a level whose loss is non-finite or >
-    spike_factor x its trailing median is restored — params AND optimizer
-    state — from the last all-healthy snapshot; the other levels are
-    untouched. Snapshots live on device (one extra copy of the stacked
-    params)."""
+    spike_factor x its trailing median is restored from its last ON-DISK
+    checkpoint (ckpt_every granularity; requires ckpt_root) with a fresh
+    optimizer state for that level; sibling levels are untouched. Disk
+    restore keeps zero extra HBM — an on-device snapshot of stacked
+    params+opt does not fit next to the training step's activations on a
+    shared chip (measured: RESOURCE_EXHAUSTED on resume)."""
     L = len(levels)
     optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = jax.vmap(optimizer.init)(variables)
@@ -89,17 +91,26 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
     data_dev = jnp.asarray(stackd[:, None] if batched_gop
                            else stackd[:, :, None])
 
-    def _restore_levels(cur, good, bad_mask):
-        sel = jnp.asarray(bad_mask)
+    def _rollback_level(variables, opt_state, i):
+        """Restore level i's params from its latest on-disk checkpoint and
+        re-init its optimizer state; other levels' slices are untouched."""
+        from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
 
-        def pick(c, g):
-            m = sel.reshape((L,) + (1,) * (c.ndim - 1)) if c.ndim else sel
-            return jnp.where(m, g, c)
-        return jax.tree_util.tree_map(pick, cur, good)
+        path = latest_checkpoint(_ckpt_dir(ckpt_root, levels[i]))
+        if path is None:
+            return variables, opt_state, False
+        ref = jax.device_get(_slice_tree(variables, i))
+        good = restore_checkpoint(path, {"params": ref})["params"]
+        variables = jax.tree_util.tree_map(
+            lambda cur, g: cur.at[i].set(jnp.asarray(g)), variables, good)
+        fresh_opt = optimizer.init(good)
+        opt_state = jax.tree_util.tree_map(
+            lambda cur, g: cur.at[i].set(jnp.asarray(g)), opt_state,
+            fresh_opt)
+        return variables, opt_state, True
 
     rng = np.random.RandomState(seed)
     history = []
-    good_vars, good_opt = variables, opt_state
     recent = [[] for _ in range(L)]  # trailing logged losses per level
     for step in range(steps):
         idx = jnp.asarray(rng.randint(0, len(dataset), L))  # per-level clip
@@ -116,19 +127,20 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
                                   for k in log_keys if k in m}
             # ---- divergence rollback (see docstring) ----
             losses = np.asarray(m["loss"], np.float64)
-            bad = np.zeros(L, bool)
+            rolled = []
             for i in range(L):
                 med = np.median(recent[i]) if recent[i] else np.inf
-                bad[i] = (not np.isfinite(losses[i])
-                          or losses[i] > spike_factor * med)
-            if bad.any():
-                variables = _restore_levels(variables, good_vars, bad)
-                opt_state = _restore_levels(opt_state, good_opt, bad)
-                rec["rollback"] = [levels[i] for i in range(L) if bad[i]]
-            for i in range(L):
-                if not bad[i]:
-                    recent[i] = (recent[i] + [losses[i]])[-5:]
-            good_vars, good_opt = variables, opt_state
+                bad = (not np.isfinite(losses[i])
+                       or losses[i] > spike_factor * med)
+                if bad and ckpt_root:
+                    variables, opt_state, ok = _rollback_level(
+                        variables, opt_state, i)
+                    if ok:
+                        rolled.append(levels[i])
+                        continue
+                recent[i] = (recent[i] + [losses[i]])[-5:]
+            if rolled:
+                rec["rollback"] = rolled
             history.append(rec)
             print(json.dumps(rec), flush=True)
         if ckpt_root and (step + 1) % ckpt_every == 0:
@@ -146,7 +158,7 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
                           log_every: int = 50,
                           ckpt_root: Optional[str] = None,
                           ckpt_every: int = 5000, step_offset: int = 0,
-                          init_params=None):
+                          init_params=None, spike_factor: float = 10.0):
     """DVC/RLVC ladder (scan engine, reference loss train.py:185-207)."""
     from fvc.gop.engine import code_gop_scan
 
@@ -174,7 +186,7 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
                         steps=steps, gop=gop, learning_rate=learning_rate,
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
-                        batched_gop=False)
+                        batched_gop=False, spike_factor=spike_factor)
 
 
 def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
@@ -183,7 +195,7 @@ def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
                      log_every: int = 50, ckpt_root: Optional[str] = None,
                      ckpt_every: int = 5000, step_offset: int = 0,
                      bf16: bool = False, stage: str = "REC",
-                     init_params=None):
+                     init_params=None, spike_factor: float = 10.0):
     """LSVC-style (whole-GOP apply) ladder, vmapped over lsvc_loss_fn."""
     lambdas = jnp.asarray([PSNR_LAMBDAS[l] for l in levels], jnp.float32)
     sample = jnp.asarray(dataset[0][: gop + 1])
@@ -209,7 +221,7 @@ def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
                         steps=steps, gop=gop, learning_rate=learning_rate,
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
-                        batched_gop=True,
+                        batched_gop=True, spike_factor=spike_factor,
                         log_keys=("loss", "psnr", "bpp_est", "rec_loss"))
 
 
@@ -218,7 +230,7 @@ def train_ladder_elfvc(model, dataset, *, levels: Sequence[int],
                        learning_rate: float = 1e-4, seed: int = 0,
                        log_every: int = 50, ckpt_root: Optional[str] = None,
                        ckpt_every: int = 5000, step_offset: int = 0,
-                       alpha: float = 100.0, init_params=None):
+                       alpha: float = 100.0, init_params=None, spike_factor: float = 10.0):
     """ELFVC(-SP) ladder: state-chain scan + α·pred_norm SP aux
     (reference parallel_compression models.py:274-308)."""
     from fvc.models.elfvc import elfvc_frame_metrics
@@ -254,7 +266,7 @@ def train_ladder_elfvc(model, dataset, *, levels: Sequence[int],
                         steps=steps, gop=gop, learning_rate=learning_rate,
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
-                        batched_gop=False,
+                        batched_gop=False, spike_factor=spike_factor,
                         log_keys=("loss", "psnr", "bpp_est", "pred_norm"))
 
 
@@ -263,7 +275,7 @@ def train_ladder_ssf(model, dataset, *, levels: Sequence[int],
                      learning_rate: float = 1e-4, seed: int = 0,
                      log_every: int = 50, ckpt_root: Optional[str] = None,
                      ckpt_every: int = 5000, step_offset: int = 0,
-                     init_params=None):
+                     init_params=None, spike_factor: float = 10.0):
     """SSF/Base ladder: stateless sequential scan; the learned keyframe
     branch (when present) trains jointly per level (fvc.train.loop.train_ssf
     semantics)."""
@@ -321,7 +333,7 @@ def train_ladder_ssf(model, dataset, *, levels: Sequence[int],
                         steps=steps, gop=gop, learning_rate=learning_rate,
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
-                        batched_gop=False)
+                        batched_gop=False, spike_factor=spike_factor)
 
 
 def resume_ladder(root: str, levels, ref_tree):
