@@ -223,6 +223,30 @@ def test_ladder_vmapped_levels_separate_and_resume(tmp_path):
                                   np.asarray(jax.device_get(leaf[0])))
 
 
+def test_ladder_divergence_rollback(tmp_path):
+    """A level whose logged loss spikes above spike_factor x its trailing
+    median is restored from its latest on-disk checkpoint (params change,
+    siblings untouched, event logged) — fvc.train.ladder._ladder_loop."""
+    from fvc.models.registry import get_codec_model
+    from fvc.train import ladder
+
+    model, _ = get_codec_model("DVC", compression_level=2)
+    ds = SyntheticVideoDataset(num_videos=2, frames=3, height=64, width=64)
+    root = str(tmp_path / "lad")
+    # spike_factor tiny -> every level trips the detector at each log point
+    # after its first (median established) — but rollback only fires once a
+    # checkpoint exists (ckpt_every=2).
+    _, hist = ladder.train_ladder_iterpred(
+        model, ds, levels=[0, 4], steps=6, gop=2, log_every=1,
+        ckpt_root=root, ckpt_every=2, spike_factor=1e-9)
+    rolled = [h for h in hist if "rollback" in h]
+    assert rolled, hist
+    assert all(set(h["rollback"]) <= {0, 4} for h in rolled)
+    # training survives the rollbacks with finite losses throughout
+    for h in hist:
+        assert np.isfinite(h["l0"]["loss"]) and np.isfinite(h["l4"]["loss"])
+
+
 def test_msssim_loss_type_trains():
     """loss_type='M' (models.py:460-487): distortion = 1 - MS-SSIM with the
     [8,16,32,64] lambda ladder; gradients must be finite and differ from the
