@@ -56,6 +56,11 @@ def main():
                          "is not a property of this program.")
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--gop-sweep", default=None, metavar="G1,G2,..",
+                    help="also measure fps at these subGOP sizes (the "
+                         "reference's scalability suite, plot_hermes.py:"
+                         "849-857: fps RISES with subGOP for the batched "
+                         "tree). Reported on stderr; headline unchanged")
     ap.add_argument("--decode", action="store_true",
                     help="also measure the decode-only program (tree "
                          "reconstruction from entropy-decoded latents, "
@@ -148,6 +153,22 @@ def main():
           f"compile={compile_s:.1f}s gop_time_min={sec_per_gop * 1e3:.0f}ms "
           f"chain_times={[round(t, 2) for t in times]} "
           f"bpp={float(bpp):.4f} psnr={float(psnr):.2f}", file=sys.stderr)
+
+    if args.gop_sweep:
+        # same jitted chain; each subGOP size is its own specialization
+        for g in [int(s) for s in args.gop_sweep.split(",") if s]:
+            xg = jnp.asarray(np.random.RandomState(2).rand(
+                g + 1, H, W, 3).astype(np.float32))
+            jax.block_until_ready(forward(variables, xg)[0])
+            tg = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                out_g = forward(variables, xg)[0]
+                _ = float(jnp.ravel(out_g)[0])
+                tg.append(time.perf_counter() - t0)
+            fps_g = g / (min(tg) / K)
+            print(f"# gop_sweep gop={g} fps={fps_g:.2f} "
+                  f"gop_time_min={min(tg) / K * 1e3:.0f}ms", file=sys.stderr)
 
     if args.decode:
         # Latents from one eval-forward encode; the chained decode feeds the
