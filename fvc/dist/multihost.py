@@ -30,10 +30,16 @@ def initialize(coordinator_address: Optional[str] = None,
     coordinator_address = coordinator_address or os.environ.get("FVC_COORD")
     if coordinator_address is None:
         return
+    # `is not None`, not `or`: an explicit process_id=0 must win over a
+    # stray FVC_PROC_ID in the environment (0 is falsy).
+    if num_processes is None:
+        num_processes = int(os.environ.get("FVC_NPROC", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("FVC_PROC_ID", "0"))
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ.get("FVC_NPROC", "1")),
-        process_id=process_id or int(os.environ.get("FVC_PROC_ID", "0")))
+        num_processes=num_processes,
+        process_id=process_id)
 
 
 def global_mesh(n_spatial: int = 1):

@@ -138,18 +138,41 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
                     if ok:
                         rolled.append(levels[i])
                         continue
-                recent[i] = (recent[i] + [losses[i]])[-5:]
+                # Only finite losses enter the trailing median — a NaN here
+                # would make the median NaN and permanently disable spike
+                # detection for this level (factor * NaN compares False).
+                if np.isfinite(losses[i]):
+                    recent[i] = (recent[i] + [losses[i]])[-5:]
             if rolled:
                 rec["rollback"] = rolled
             history.append(rec)
             print(json.dumps(rec), flush=True)
         if ckpt_root and (step + 1) % ckpt_every == 0:
             _save_ladder(ckpt_root, levels, variables,
-                         step_offset + step + 1)
+                         step_offset + step + 1,
+                         skip=_unhealthy_levels(metrics, recent, L,
+                                                spike_factor))
     if ckpt_root:
         _save_ladder(ckpt_root, levels, variables, step_offset + steps,
-                     best=True)
+                     best=True,
+                     skip=_unhealthy_levels(metrics, recent, L,
+                                            spike_factor))
     return variables, history
+
+
+def _unhealthy_levels(metrics, recent, L, spike_factor):
+    """Levels whose CURRENT loss is non-finite or spiking vs their trailing
+    median. Checkpoint writes are gated on this so a level that diverges
+    between log points never overwrites its last healthy checkpoint — the
+    rollback machinery restores from disk, so a poisoned checkpoint would
+    be restored repeatedly and the level could never recover."""
+    losses = np.asarray(jax.device_get(metrics["loss"]), np.float64)
+    skip = []
+    for i in range(L):
+        med = np.median(recent[i]) if recent[i] else np.inf
+        if not np.isfinite(losses[i]) or losses[i] > spike_factor * med:
+            skip.append(i)
+    return skip
 
 
 def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
@@ -338,8 +361,10 @@ def train_ladder_ssf(model, dataset, *, levels: Sequence[int],
 
 def resume_ladder(root: str, levels, ref_tree):
     """Restore a stacked ladder from per-level checkpoint dirs. Returns
-    (stacked_params or None, step_offset). All levels must resume from the
-    same step (they train in lockstep)."""
+    (stacked_params or None, step_offset). Levels may sit at different
+    steps (a diverged level's checkpoint write is skipped, so it resumes
+    from an older healthy state); levels train independently under vmap,
+    so this only affects how much each has trained. step_offset = max."""
     import os
 
     from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
@@ -354,12 +379,16 @@ def resume_ladder(root: str, levels, ref_tree):
         steps.append(int(tag.split("_")[1]) if tag.startswith("ckpt_") else 0)
         trees.append(restore_checkpoint(p, {"params": ref_tree})["params"])
     if len(set(steps)) != 1:
-        raise ValueError(f"ladder levels at different steps: {steps}")
-    return _stack_trees(trees), steps[0]
+        print(f"resume_ladder: levels at different steps {steps} "
+              "(diverged-level saves are skipped); resuming from max")
+    return _stack_trees(trees), max(steps)
 
 
-def _save_ladder(root: str, levels, stacked, step: int, best: bool = False):
+def _save_ladder(root: str, levels, stacked, step: int, best: bool = False,
+                 skip=()):
     for i, lvl in enumerate(levels):
+        if i in skip:  # diverged level: keep its last healthy checkpoint
+            continue
         payload = {"params": jax.device_get(_slice_tree(stacked, i))}
         save_checkpoint(_ckpt_dir(root, lvl), step, payload)
         if best:

@@ -45,9 +45,14 @@ def send_msg(sock: socket.socket, payload: bytes) -> None:
     sock.sendall(struct.pack("<I", len(payload)) + payload)
 
 
+MAX_MSG = 256 << 20  # 256 MiB: far above any packed-GOP stream, far below 4GiB
+
+
 def recv_msg(sock: socket.socket) -> bytes:
     hdr = _recv_exact(sock, 4)
     (n,) = struct.unpack("<I", hdr)
+    if n > MAX_MSG:
+        raise ConnectionError(f"message length {n} exceeds {MAX_MSG}")
     return _recv_exact(sock, n)
 
 
@@ -91,6 +96,11 @@ def serve(sock: socket.socket, ckpt: str | None, cpu: bool) -> None:
     from fvc.models.bitstream import unpack_streams
 
     hello = json.loads(recv_msg(sock))
+    for k, hi in (("h", 8192), ("w", 8192), ("gop", 256), ("n_gops", 10000),
+                  ("level", 16), ("seed", 2**31)):
+        v = hello.get(k)
+        if not isinstance(v, int) or not 0 <= v <= hi:
+            raise ConnectionError(f"hello field {k}={v!r} out of bounds")
     codec = build_codec(hello, ckpt, cpu)
     h, w = hello["h"], hello["w"]
     for gi in range(hello["n_gops"]):

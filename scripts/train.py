@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--gop", type=int, default=5)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr-final", type=float, default=None,
+                    help="cosine-decay the lr to this value over "
+                         "--lr-decay-steps (ladder mode; schedule is shifted "
+                         "by the resumed step offset)")
+    ap.add_argument("--lr-decay-steps", type=int, default=None,
+                    help="total schedule length for --lr-final "
+                         "(default: resume offset + --steps)")
     ap.add_argument("--alpha", type=float, default=100.0,
                     help="super-precision pred-error aux weight for ELFVC-SP "
                          "(reference train.py --alpha)")
@@ -181,8 +188,21 @@ def main():
             if args.spynet_npy:
                 print(f"grafted pretrained SpyNet from {args.spynet_npy}",
                       flush=True)
+        lr = args.lr
+        if args.lr_final is not None:
+            import optax
+
+            total = args.lr_decay_steps or (step_offset + args.steps)
+            base_sched = optax.cosine_decay_schedule(
+                args.lr, max(total, 1), alpha=args.lr_final / args.lr)
+            off = step_offset
+
+            def lr(count, _b=base_sched, _o=off):
+                return _b(count + _o)
+            print(f"cosine lr {args.lr} -> {args.lr_final} over {total} "
+                  f"steps (offset {off})", flush=True)
         common = dict(levels=levels, steps=args.steps, gop=args.gop,
-                      learning_rate=args.lr, seed=args.seed,
+                      learning_rate=lr, seed=args.seed,
                       ckpt_root=args.ckpt, ckpt_every=args.ckpt_every,
                       step_offset=step_offset, init_params=init_stacked,
                       log_every=args.log_every)
