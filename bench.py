@@ -1,7 +1,12 @@
 """Benchmark: LSVC (flagship tree codec) P-frame encode+decode throughput on
 one TPU chip, at the reference's own benchmark setting.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (stdout, last line) carrying the headline metric plus a
+"submetrics" object with the full perf story (VERDICT r02 #4): decode-only,
+1080p, subGOP scalability sweep, batched-stream throughput, MFU, and quality
+fields measured on a FRESH-INPUT pass (the chained feedback loop converges to
+a fixed point on an untrained model and reports degenerate PSNR — never use
+its quality numbers).
 
 Baseline (BASELINE.md "LSVC enc/dec split", plot_hermes.py:678-691): on an RTX
 3090 the reference encodes at 32.4 fps and decodes at 46 fps; a full
@@ -9,23 +14,16 @@ encode+decode pass (what LSVC.forward computes: flow + mv codec + MC + residual
 codec + reconstruction, models.py:1347-1411) therefore runs at
 1/(1/32.4 + 1/46) ~= 19.0 fps. vs_baseline = ours / 19.0.
 
-Resolution: the reference's Hermes suite (both the RD tables and the speed
-numbers) evaluates UVG at 640x960 (BASELINE.md "Hermes/LSVC suite — UVG at
-640x960"; reference eval.py:514 passes --width/--height into VideoDataset,
-dataset.py:78-79 resizes). The default here matches that setting so
-vs_baseline compares the same workload; pass --height 1088 --width 1920 for
-the 1080p variant (reported separately in docs/ROUND1_NOTES.md).
+Resolution: the reference's Hermes suite evaluates UVG at 640x960
+(eval.py:514, dataset.py:78-79). The headline matches that workload; the
+1080p submetric covers the BASELINE.json north-star resolution.
 
-Notes:
-- persistent XLA compilation cache under .jax_cache (first run pays compile).
-- init is jitted (op-by-op dispatch through the device tunnel is pathological).
-- bf16 MXU policy active for the conv path (fvc.core.policy).
-
-Run: python bench.py [--gop 6] [--height 640] [--width 960] [--iters 3]
+Run: python bench.py [--fast] [--gop 6] [--iters 5] [--ckpt DIR]
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -35,19 +33,24 @@ BASELINE_ENCDEC_FPS = 19.0  # RTX 3090 enc+dec serial, plot_hermes.py:678-691
 # Decode-only baseline from the SAME source table as the headline (3090
 # column of the enc/dec split, plot_hermes.py:678-691). NB the reference
 # also carries a faster 3090 decode figure (0.010 s/frame = 100 fps,
-# simulation.py:137 / plot_hermes.py:737) — both are in BASELINE.md; the
-# stderr line reports the ratio against that one too.
+# simulation.py:137 / plot_hermes.py:737); the submetric reports both ratios.
 BASELINE_DEC_FPS = 46.0
 BASELINE_DEC_FPS_ALT = 100.0
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 (394 int8). MFU below is
+# against bf16 peak — the policy runs the conv path in bf16.
+PEAK_BF16_FLOPS = 197e12
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--gop", type=int, default=6)
-    # the reference's benchmark setting: UVG resized to 640x960 (see docstring)
     ap.add_argument("--height", type=int, default=640)
     ap.add_argument("--width", type=int, default=960)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--chain", type=int, default=4, metavar="K",
                     help="GOPs coded per timed program (lax.fori_loop chain; "
                          "reconstructions feed back as the next GOP's input). "
@@ -56,21 +59,20 @@ def main():
                          "is not a property of this program.")
     ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--fp32", action="store_true")
-    ap.add_argument("--gop-sweep", default=None, metavar="G1,G2,..",
-                    help="also measure fps at these subGOP sizes (the "
-                         "reference's scalability suite, plot_hermes.py:"
-                         "849-857: fps RISES with subGOP for the batched "
-                         "tree). Reported on stderr; headline unchanged")
-    ap.add_argument("--decode", action="store_true",
-                    help="also measure the decode-only program (tree "
-                         "reconstruction from entropy-decoded latents, "
-                         "LSVC.reconstruct — the TreeFrameReconDecompress "
-                         "device half); reported on stderr, headline "
-                         "metric unchanged")
-    ap.add_argument("--batch", type=int, default=0, metavar="B",
-                    help="also measure B concurrent streams vmapped into one "
-                         "program (serving throughput per chip; the headline "
-                         "metric stays the single-stream reference workload)")
+    ap.add_argument("--fast", action="store_true",
+                    help="headline only (skip decode/sweep/1080p/batch)")
+    ap.add_argument("--gop-sweep", default="2,14,30", metavar="G1,G2,..",
+                    help="subGOP sizes for the scalability sweep (the "
+                         "reference's suite, plot_hermes.py:849-857: fps "
+                         "RISES with subGOP for the batched tree)")
+    ap.add_argument("--batch", type=int, default=2, metavar="B",
+                    help="B concurrent streams vmapped into one program "
+                         "(serving throughput per chip); 0 disables")
+    ap.add_argument("--no-1080p", action="store_true")
+    ap.add_argument("--ckpt", default="ckpts/lsvc_ladder_l2",
+                    help="LSVC checkpoint dir for REAL quality fields "
+                         "(falls back to pretrained_lsvc_l2, then fresh "
+                         "init, whichever exists)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +95,22 @@ def main():
     )(jax.random.PRNGKey(0), x[: 3, : 128, : 128])
     jax.block_until_ready(variables)
     init_s = time.perf_counter() - t0
+
+    ckpt_used = None
+    for cand in (args.ckpt, "pretrained_lsvc_l2"):
+        if cand and os.path.isdir(cand):
+            try:
+                from fvc.train.checkpoint import (latest_checkpoint,
+                                                  restore_checkpoint)
+                path = latest_checkpoint(cand)
+                if path:
+                    variables = restore_checkpoint(
+                        path, {"params": variables})["params"]
+                    ckpt_used = path
+                    break
+            except Exception as e:  # quality fields degrade, timing unaffected
+                log(f"# ckpt restore failed ({cand}): {e}")
+    log(f"# ckpt={ckpt_used}")
 
     def fwd(variables, x):
         ctx = compute_in(None) if args.fp32 else bf16_compute()
@@ -119,116 +137,139 @@ def main():
     forward = jax.jit(chain)
 
     t0 = time.perf_counter()
-    com_k, bpp, psnr = forward(variables, x)
+    com_k, _, _ = forward(variables, x)
     jax.block_until_ready(com_k)
     compile_s = time.perf_counter() - t0
 
     for _ in range(args.warmup):
         jax.block_until_ready(forward(variables, x)[0])
 
-    # Each timed call ends with a tiny dependent D2H fetch — through the
-    # device tunnel, block_until_ready alone can return before the
-    # computation retires, but a host fetch of a dependent value cannot.
-    # Report the MINIMUM: the shared tunnel chip's throughput varies
-    # several-x with external load, and min-of-N is the standard
-    # contention-resistant estimate of the program's actual cost.
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        com_k, bpp, psnr = forward(variables, x)
-        _ = float(jnp.ravel(com_k)[0])  # 4-byte sync fetch
-        times.append(time.perf_counter() - t0)
+    def time_call(fn, *a, iters=None):
+        """min-of-N wall time; each call ends with a tiny dependent D2H fetch
+        (through the tunnel, block_until_ready alone can return before the
+        computation retires, but a host fetch of a dependent value cannot).
+        min-of-N is the standard contention-resistant estimate on the shared
+        tunnel chip."""
+        ts = []
+        for _ in range(iters or args.iters):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            _ = float(jnp.ravel(out)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts), ts
 
-    sec_per_gop = min(times) / K
+    t_min, times = time_call(lambda: forward(variables, x)[0])
+    sec_per_gop = t_min / K
     fps = gop / sec_per_gop
+
+    sub = {}
+
+    # ---- fresh-input quality (NOT the feedback chain's fixed point) ----
+    try:
+        fwd1 = jax.jit(fwd)
+        _, bpp_f, psnr_f = fwd1(variables, x)
+        sub["psnr_fresh"] = round(float(psnr_f), 2)
+        sub["bpp_est_fresh"] = round(float(bpp_f), 4)
+        sub["quality_ckpt"] = ckpt_used
+    except Exception as e:
+        log(f"# fresh-quality failed: {e}")
+
+    # ---- MFU from XLA's own cost model for the compiled chain ----
+    try:
+        ca = forward.lower(variables, x).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = (flops / t_min) / PEAK_BF16_FLOPS
+            sub["mfu_bf16"] = round(mfu, 4)
+            sub["program_tflops"] = round(flops / 1e12, 3)
+    except Exception as e:
+        log(f"# cost_analysis unavailable: {e}")
+
+    log(f"# device={jax.devices()[0].device_kind} gop={gop} chain={K} "
+        f"init={init_s:.1f}s compile={compile_s:.1f}s "
+        f"gop_time_min={sec_per_gop * 1e3:.0f}ms "
+        f"chain_times={[round(t, 2) for t in times]}")
+
+    if not args.fast:
+        # ---- subGOP scalability sweep (plot_hermes.py:849-857) ----
+        try:
+            sweep = {}
+            for g in [int(s) for s in args.gop_sweep.split(",") if s]:
+                xg = jnp.asarray(np.random.RandomState(2).rand(
+                    g + 1, H, W, 3).astype(np.float32))
+                jax.block_until_ready(forward(variables, xg)[0])
+                tg, _ = time_call(lambda xg=xg: forward(variables, xg)[0])
+                sweep[str(g)] = round(g / (tg / K), 2)
+                log(f"# gop_sweep gop={g} fps={sweep[str(g)]}")
+            sweep[str(gop)] = round(fps, 2)
+            sub["gop_sweep_fps"] = sweep
+        except Exception as e:
+            log(f"# gop-sweep failed: {e}")
+
+        # ---- decode-only (TreeFrameReconDecompress device half) ----
+        try:
+            lat = jax.jit(
+                lambda v, xx: model.apply(v, xx, method=model.collect_latents)
+            )(variables, x)
+            mv_q, feat_q = lat["mv_q"], lat["feat_q"]
+
+            def dec_chain(variables, x0, mv_q, feat_q):
+                def body(_, cur):
+                    ctx = compute_in(None) if args.fp32 else bf16_compute()
+                    with ctx:
+                        com = model.apply(variables, cur, mv_q, feat_q,
+                                          method=model.reconstruct)
+                    return com[-1]
+                return jax.lax.fori_loop(0, K, body, x0)
+
+            dec_jit = jax.jit(dec_chain)
+            jax.block_until_ready(dec_jit(variables, x[0], mv_q, feat_q))
+            td, _ = time_call(lambda: dec_jit(variables, x[0], mv_q, feat_q))
+            fps_d = gop / (td / K)
+            sub["decode_fps"] = round(fps_d, 2)
+            sub["decode_vs_3090"] = round(fps_d / BASELINE_DEC_FPS, 3)
+            sub["decode_vs_3090_sim_table"] = round(
+                fps_d / BASELINE_DEC_FPS_ALT, 3)
+            log(f"# decode-only fps={fps_d:.1f}")
+        except Exception as e:
+            log(f"# decode bench failed: {e}")
+
+        # ---- 1080p variant (north-star resolution) ----
+        if not args.no_1080p:
+            try:
+                xh = jnp.asarray(np.random.RandomState(3).rand(
+                    gop + 1, 1088, 1920, 3).astype(np.float32))
+                jax.block_until_ready(forward(variables, xh)[0])
+                th, _ = time_call(lambda: forward(variables, xh)[0])
+                sub["fps_1080p"] = round(gop / (th / K), 2)
+                log(f"# 1080p fps={sub['fps_1080p']}")
+            except Exception as e:
+                log(f"# 1080p bench failed: {e}")
+
+        # ---- batched streams (serving throughput) ----
+        if args.batch:
+            try:
+                B = args.batch
+                xb = jnp.asarray(np.random.RandomState(1).rand(
+                    B, gop + 1, H, W, 3).astype(np.float32))
+                fwd_b = jax.jit(jax.vmap(fwd, in_axes=(None, 0)))
+                jax.block_until_ready(fwd_b(variables, xb)[0])
+                tb, _ = time_call(lambda: fwd_b(variables, xb)[0])
+                sub[f"batch{B}_fps"] = round(B * gop / tb, 2)
+                log(f"# batch={B} fps={sub[f'batch{B}_fps']}")
+            except Exception as e:
+                log(f"# batch bench failed: {e}")
+
     result = {
         "metric": f"lsvc_{H}x{W}_pframe_encdec_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_ENCDEC_FPS, 3),
+        "submetrics": sub,
     }
-    print(json.dumps(result))
-    print(f"# device={jax.devices()[0].device_kind} gop={gop} chain={K} "
-          f"init={init_s:.1f}s "
-          f"compile={compile_s:.1f}s gop_time_min={sec_per_gop * 1e3:.0f}ms "
-          f"chain_times={[round(t, 2) for t in times]} "
-          f"bpp={float(bpp):.4f} psnr={float(psnr):.2f}", file=sys.stderr)
-
-    if args.gop_sweep:
-        # same jitted chain; each subGOP size is its own specialization
-        for g in [int(s) for s in args.gop_sweep.split(",") if s]:
-            xg = jnp.asarray(np.random.RandomState(2).rand(
-                g + 1, H, W, 3).astype(np.float32))
-            jax.block_until_ready(forward(variables, xg)[0])
-            tg = []
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                out_g = forward(variables, xg)[0]
-                _ = float(jnp.ravel(out_g)[0])
-                tg.append(time.perf_counter() - t0)
-            fps_g = g / (min(tg) / K)
-            print(f"# gop_sweep gop={g} fps={fps_g:.2f} "
-                  f"gop_time_min={min(tg) / K * 1e3:.0f}ms", file=sys.stderr)
-
-    if args.decode:
-        # Latents from one eval-forward encode; the chained decode feeds the
-        # last reconstruction back as the next GOP's I-frame so iterations
-        # serialize on a real data dependency (same contract as the encdec
-        # chain above).
-        lat = jax.jit(
-            lambda v, xx: model.apply(v, xx, method=model.collect_latents)
-        )(variables, x)
-        mv_q, feat_q = lat["mv_q"], lat["feat_q"]
-
-        def dec_chain(variables, x0, mv_q, feat_q):
-            def body(_, cur):
-                ctx = compute_in(None) if args.fp32 else bf16_compute()
-                with ctx:
-                    com = model.apply(variables, cur, mv_q, feat_q,
-                                      method=model.reconstruct)
-                return com[-1]
-            return jax.lax.fori_loop(0, K, body, x0)
-
-        dec_jit = jax.jit(dec_chain)
-        jax.block_until_ready(dec_jit(variables, x[0], mv_q, feat_q))
-        td = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            out_d = dec_jit(variables, x[0], mv_q, feat_q)
-            _ = float(jnp.ravel(out_d)[0])
-            td.append(time.perf_counter() - t0)
-        fps_d = gop / (min(td) / K)
-        print(json.dumps({
-            "metric": f"lsvc_{H}x{W}_pframe_decode_fps_per_chip",
-            "value": round(fps_d, 3),
-            "unit": "frames/s",
-            "vs_baseline": round(fps_d / BASELINE_DEC_FPS, 3),
-        }), file=sys.stderr)
-        print(f"# decode-only: gop_time_min={min(td) / K * 1e3:.0f}ms "
-              f"vs_3090_sim_table={fps_d / BASELINE_DEC_FPS_ALT:.2f}x "
-              f"all={[round(t, 2) for t in td]}", file=sys.stderr)
-
-    if args.batch:
-        B = args.batch
-        xb = jnp.asarray(np.random.RandomState(1).rand(
-            B, gop + 1, H, W, 3).astype(np.float32))
-        fwd_b = jax.jit(jax.vmap(fwd, in_axes=(None, 0)))
-        jax.block_until_ready(fwd_b(variables, xb)[0])  # compile+warm
-        tb = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            com_b = fwd_b(variables, xb)[0]
-            _ = float(jnp.ravel(com_b)[0])
-            tb.append(time.perf_counter() - t0)
-        fps_b = B * gop / min(tb)
-        print(json.dumps({
-            "metric": f"lsvc_{H}x{W}_encdec_throughput_fps_per_chip_b{B}",
-            "value": round(fps_b, 3),
-            "unit": "frames/s",
-            "vs_baseline": round(fps_b / BASELINE_ENCDEC_FPS, 3),
-        }), file=sys.stderr)
-        print(f"# batch={B} gop_time_min={min(tb) * 1e3:.0f}ms "
-              f"all={[round(t, 1) for t in tb]}", file=sys.stderr)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

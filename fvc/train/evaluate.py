@@ -30,7 +30,10 @@ def eval_lsvc_on_gops(model, variables, gops, *, i_codec=None, i_vars=None):
     def run(variables, x):
         com, out = model.apply(variables, x, training=False)
         msssim = jnp.mean(ms_ssim_db(x[1:], com))
-        return out["bpp_est"], out["psnr"], out["psnr_list"], msssim
+        # motion/residual bit split (plot_hermes.py:708-719 analysis)
+        return (out["bpp_est"], out["psnr"], out["psnr_list"], msssim,
+                out.get("bpp_mv", jnp.float32(0)),
+                out.get("bpp_res", jnp.float32(0)))
 
     i_run = None
     if i_codec is not None:
@@ -46,13 +49,14 @@ def eval_lsvc_on_gops(model, variables, gops, *, i_codec=None, i_vars=None):
             x0_hat, i_bpp, i_psnr = i_run(i_vars, x[:1])
             x = x.at[0].set(x0_hat[0])
         t0 = time.perf_counter()
-        bpp, psnr, psnr_list, msssim = run(variables, x)
+        bpp, psnr, psnr_list, msssim, bpp_mv, bpp_res = run(variables, x)
         jax.block_until_ready(psnr)
         dt = time.perf_counter() - t0
         results.append({
             "bpp": float(bpp), "psnr": float(psnr),
             "msssim_db": float(msssim),
             "psnr_list": np.asarray(psnr_list).tolist(),
+            "bpp_mv": float(bpp_mv), "bpp_res": float(bpp_res),
             "time_per_frame": dt / (x.shape[0] - 1),
             "i_bpp": None if i_bpp is None else float(i_bpp),
             "i_psnr": None if i_psnr is None else float(i_psnr),
@@ -200,7 +204,9 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
             else:
                 recons, outs = code_gop_scan(apply_fn, v, frames, state0,
                                              training=False)
-            return outs["bpp_est"], outs["psnr"]
+            return (outs["bpp_est"], outs["psnr"],
+                    outs.get("bpp_mv", jnp.zeros_like(outs["bpp_est"])),
+                    outs.get("bpp_res", jnp.zeros_like(outs["bpp_est"])))
 
         codec = None
         if real_bits:
@@ -213,11 +219,13 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
         for g in gops:
             frames = jnp.asarray(g)[:, None]
             t0 = time.perf_counter()
-            bpps, psnrs = run(variables, frames)
+            bpps, psnrs, bpps_mv, bpps_res = run(variables, frames)
             jax.block_until_ready(psnrs)
             dt = time.perf_counter() - t0
             r = {"bpp": float(jnp.mean(bpps)), "psnr": float(jnp.mean(psnrs)),
                  "psnr_list": np.asarray(psnrs).tolist(),
+                 "bpp_mv": float(jnp.mean(bpps_mv)),
+                 "bpp_res": float(jnp.mean(bpps_res)),
                  "time_per_frame": dt / (g.shape[0] - 1)}
             if codec is not None:
                 fr = np.asarray(frames)

@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Paper-analysis suite (the reference's L6 layer, SURVEY §1): the analysis
+tables the plot scripts hard-code, regenerated from THIS framework's eval
+output.
+
+Modes (reference sources):
+  error-propagation  per-frame PSNR across the GOP per codec/level
+                     (plot_hermes.py:814-831)
+  bit-allocation     motion vs residual bpp split per level
+                     (plot_hermes.py:708-719)
+  tree-ablation      RD + speed of the LSVC reference-structure variants
+                     (default tree / chain '-L' / one-hop '-O'), re-using the
+                     SAME trained weights — the variants only change the GOP
+                     graph, not the parameter tree (plot_hermes.py:570-609)
+
+Inputs for error-propagation/bit-allocation: JSON-lines files as produced by
+`scripts/eval.py` (one summary object per line; rd_curve lines are skipped).
+tree-ablation runs the evals itself.
+
+Examples:
+  python scripts/eval.py --codec LSVC --levels 0 1 2 3 \
+      --ckpt-pattern ckpts/lsvc_ladder_l{level} --synthetic > lsvc_eval.jsonl
+  python scripts/analysis.py error-propagation lsvc_eval.jsonl dvc_eval.jsonl
+  python scripts/analysis.py bit-allocation lsvc_eval.jsonl
+  python scripts/analysis.py tree-ablation --ckpt-pattern \
+      ckpts/lsvc_ladder_l{level} --levels 0 1 2 3 --gop 6
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _read_jsonl(paths):
+    rows = []
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or not line.startswith("{"):
+                    continue
+                obj = json.loads(line)
+                if "codec" in obj and "psnr" in obj:
+                    rows.append(obj)
+    return rows
+
+
+def _fmt_table(header, rows):
+    cols = [header] + rows
+    widths = [max(len(str(r[i])) for r in cols) for i in range(len(header))]
+    out = []
+    for r in cols:
+        out.append("  ".join(str(v).rjust(w) for v, w in zip(r, widths)))
+    out.insert(1, "  ".join("-" * w for w in widths))
+    return "\n".join(out)
+
+
+def error_propagation(args):
+    """Per-frame PSNR across the GOP: the error-propagation table
+    (plot_hermes.py:814-831 — e.g. lambda=2048: Ours 34.1->35.0 dB across the
+    GOP vs DVC 33.0->33.6; a flat curve = no drift accumulation)."""
+    rows = [r for r in _read_jsonl(args.inputs) if "psnr_per_frame" in r]
+    if not rows:
+        print(json.dumps({"error": "no psnr_per_frame in inputs "
+                          "(run scripts/eval.py first)"}))
+        return
+    n = max(len(r["psnr_per_frame"]) for r in rows)
+    header = ["codec", "level", "bpp"] + [f"P{i + 1}" for i in range(n)]
+    table = []
+    out_rows = []
+    for r in rows:
+        pf = r["psnr_per_frame"]
+        table.append([r["codec"], r["level"], f"{r['bpp_est']:.3f}"]
+                     + [f"{v:.2f}" for v in pf] + [""] * (n - len(pf)))
+        # drift: last-frame PSNR minus first P-frame PSNR (negative = decay)
+        out_rows.append({"codec": r["codec"], "level": r["level"],
+                         "bpp": r["bpp_est"], "psnr_per_frame": pf,
+                         "drift_db": round(pf[-1] - pf[0], 3)})
+    print(_fmt_table(header, table), file=sys.stderr)
+    print(json.dumps({"error_propagation": out_rows}))
+
+
+def bit_allocation(args):
+    """Motion/residual bpp split per level (plot_hermes.py:708-719; reference
+    values e.g. Ours [.025/.078 .. .063/.217] over lambda 256..2048)."""
+    rows = [r for r in _read_jsonl(args.inputs) if "bpp_mv" in r]
+    if not rows:
+        print(json.dumps({"error": "no bpp_mv in inputs"}))
+        return
+    header = ["codec", "level", "bpp_mv", "bpp_res", "mv_share"]
+    table, out_rows = [], []
+    for r in rows:
+        total = r["bpp_mv"] + r["bpp_res"]
+        share = r["bpp_mv"] / total if total else 0.0
+        table.append([r["codec"], r["level"], f"{r['bpp_mv']:.4f}",
+                      f"{r['bpp_res']:.4f}", f"{share:.1%}"])
+        out_rows.append({"codec": r["codec"], "level": r["level"],
+                         "bpp_mv": round(r["bpp_mv"], 5),
+                         "bpp_res": round(r["bpp_res"], 5),
+                         "mv_share": round(share, 4)})
+    print(_fmt_table(header, table), file=sys.stderr)
+    print(json.dumps({"bit_allocation": out_rows}))
+
+
+def tree_ablation(args):
+    """RD + speed for LSVC tree variants sharing one set of trained weights
+    (plot_hermes.py:570-609: Default/Chain/One-hop; speed row :609 shows the
+    chain at ~half the fps of the batched tree)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from fvc.data.datasets import SyntheticVideoDataset
+    from fvc.models.registry import get_codec_model
+    from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from fvc.train.evaluate import eval_lsvc_on_gops, init_family_variables
+
+    sds = SyntheticVideoDataset(num_videos=args.max_gops,
+                                frames=args.gop + 1, height=args.size,
+                                width=args.size)
+    gops = [sds[i] for i in range(len(sds))]
+
+    variants = [("LSVC", "default-tree"), ("LSVC-L", "chain"),
+                ("LSVC-O", "one-hop")]
+    out_rows = []
+    table = []
+    for name, label in variants:
+        for level in args.levels:
+            model, cfg = get_codec_model(name, compression_level=level)
+            variables = init_family_variables(name, model, gops[0])
+            ckpt = args.ckpt_pattern.format(level=level)
+            path = latest_checkpoint(ckpt)
+            if path is None:
+                print(f"# skip {name} l{level}: no ckpt at {ckpt}",
+                      file=sys.stderr)
+                continue
+            variables = restore_checkpoint(
+                path, {"params": variables})["params"]
+            res = eval_lsvc_on_gops(model, variables, gops)
+            bpp = float(np.mean([r["bpp"] for r in res]))
+            psnr = float(np.mean([r["psnr"] for r in res]))
+            fps = 1.0 / float(np.mean([r["time_per_frame"] for r in res]))
+            out_rows.append({"variant": label, "level": level,
+                             "bpp": round(bpp, 4), "psnr": round(psnr, 3),
+                             "fps": round(fps, 2)})
+            table.append([label, level, f"{bpp:.3f}", f"{psnr:.2f}",
+                          f"{fps:.1f}"])
+    print(_fmt_table(["variant", "level", "bpp", "psnr", "fps"], table),
+          file=sys.stderr)
+    print(json.dumps({"tree_ablation": out_rows}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    p = sub.add_parser("error-propagation")
+    p.add_argument("inputs", nargs="+")
+    p.set_defaults(fn=error_propagation)
+
+    p = sub.add_parser("bit-allocation")
+    p.add_argument("inputs", nargs="+")
+    p.set_defaults(fn=bit_allocation)
+
+    p = sub.add_parser("tree-ablation")
+    p.add_argument("--ckpt-pattern", required=True)
+    p.add_argument("--levels", type=int, nargs="+", default=[0, 1, 2, 3])
+    p.add_argument("--gop", type=int, default=6)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--max-gops", type=int, default=2)
+    p.set_defaults(fn=tree_ablation)
+
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -150,6 +150,19 @@ def main():
             "time_per_frame": float(
                 np.mean([r["time_per_frame"] for r in results])),
         }
+        # motion/residual bit-allocation split (plot_hermes.py:708-719) and
+        # per-frame PSNR across the GOP for error-propagation analysis
+        # (plot_hermes.py:814-831) — present when the family reports them
+        if any("bpp_mv" in r for r in results):
+            summary["bpp_mv"] = float(
+                np.mean([r.get("bpp_mv", 0.0) for r in results]))
+            summary["bpp_res"] = float(
+                np.mean([r.get("bpp_res", 0.0) for r in results]))
+        lists = [r["psnr_list"] for r in results
+                 if r.get("psnr_list") is not None]
+        if lists and len({len(l) for l in lists}) == 1:
+            summary["psnr_per_frame"] = [
+                round(float(v), 3) for v in np.mean(lists, axis=0)]
         print(json.dumps(summary), flush=True)
         return summary
 

@@ -113,7 +113,7 @@ def main():
             ref = init_family_variables(args.codec, model, probe)
             resume_params = restore_checkpoint(path, {"params": ref})["params"]
             print(f"resumed from {path}", flush=True)
-    if args.spynet_npy and resume_params is None:
+    if args.spynet_npy and resume_params is None and not args.ladder:
         import jax as _jax
         import jax.numpy as _jnp
         from fvc.data.datasets import SyntheticVideoDataset as _S
