@@ -42,7 +42,10 @@ def flow_warp_tiled(img: jax.Array, flow: jax.Array, *, mesh: Mesh,
     H = img.shape[1]
     assert H % n_shards == 0, (H, n_shards)
     local_h = H // n_shards
-    assert halo <= local_h, "halo must fit in one shard"
+    # at coarse pyramid levels (SpyNet warps at H/2..H/8) a shard may be
+    # shorter than the requested halo; one neighbor shard is the maximum
+    # reachable halo anyway, so clamp (flow clamp below tightens with it)
+    halo = min(halo, local_h)
 
     def _local(img_l, flow_l):
         # img_l/flow_l: local shards [B, local_h, W, C/2]

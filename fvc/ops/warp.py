@@ -73,13 +73,21 @@ def _bilinear_gather(img: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
 
 _WARP_METHOD = "window"
 _WARP_RADIUS = 16
+_WARP_MESH = None  # (mesh, axis_name, halo) for method="tiled"
 
 
-def set_warp_method(method: str, radius: int = 16) -> None:
+def set_warp_method(method: str, radius: int = 16, *, mesh=None,
+                    axis_name: str = "spatial", halo: int = 64) -> None:
     """Set the process-wide flow_warp implementation: "window" (TPU-fast,
-    default) or "gather" (bit-exact grid_sample parity)."""
-    global _WARP_METHOD, _WARP_RADIUS
-    assert method in ("window", "gather"), method
+    default), "gather" (bit-exact grid_sample parity), or "tiled"
+    (spatially-sharded halo-exchange warp, fvc.dist.tiled_warp — every
+    flow_warp in the model then runs under shard_map with its H axis
+    sharded over `mesh`'s `axis_name`; requires a mesh)."""
+    global _WARP_METHOD, _WARP_RADIUS, _WARP_MESH
+    assert method in ("window", "gather", "tiled"), method
+    if method == "tiled":
+        assert mesh is not None, "tiled warp needs a mesh"
+        _WARP_MESH = (mesh, axis_name, halo)
     _WARP_METHOD = method
     _WARP_RADIUS = radius
 
@@ -87,15 +95,23 @@ def set_warp_method(method: str, radius: int = 16) -> None:
 class warp_method:
     """Context manager scoping a flow_warp implementation choice."""
 
-    def __init__(self, method: str, radius: int = 16):
+    def __init__(self, method: str, radius: int = 16, *, mesh=None,
+                 axis_name: str = "spatial", halo: int = 64):
         self.method, self.radius = method, radius
+        self.mesh, self.axis_name, self.halo = mesh, axis_name, halo
 
     def __enter__(self):
-        self.saved = (_WARP_METHOD, _WARP_RADIUS)
-        set_warp_method(self.method, self.radius)
+        self.saved = (_WARP_METHOD, _WARP_RADIUS, _WARP_MESH)
+        set_warp_method(self.method, self.radius, mesh=self.mesh,
+                        axis_name=self.axis_name, halo=self.halo)
 
     def __exit__(self, *exc):
-        set_warp_method(*self.saved)
+        global _WARP_MESH
+        set_warp_method(self.saved[0], self.saved[1],
+                        mesh=self.saved[2][0] if self.saved[2] else None,
+                        axis_name=self.saved[2][1] if self.saved[2] else "spatial",
+                        halo=self.saved[2][2] if self.saved[2] else 64)
+        _WARP_MESH = self.saved[2]
 
 
 def _source_coords(H: int, W: int, flow: jax.Array):
@@ -184,6 +200,11 @@ def flow_warp(img: jax.Array, flow: jax.Array, *, method: str | None = None,
     method = method or _WARP_METHOD
     if method == "window":
         return _warp_window(img, flow, _WARP_RADIUS if radius is None else radius)
+    if method == "tiled":
+        from fvc.dist.tiled_warp import flow_warp_tiled
+        mesh, axis_name, halo = _WARP_MESH
+        return flow_warp_tiled(img, flow, mesh=mesh, halo=halo,
+                               axis_name=axis_name)
     _, H, W, _ = img.shape
     px, py = _source_coords(H, W, flow)
     return _bilinear_gather(img, py, px)

@@ -63,3 +63,34 @@ def test_tiled_warp_differentiable():
     assert g.shape == flow.shape
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_lsvc_forward_tiled_warp_mode_matches_gather():
+    """Model-level SP: the whole LSVC tree forward under warp_method('tiled')
+    (every SpyNet/MC warp runs the halo-exchange shard_map path, H sharded
+    over 'spatial') must match the unsharded gather forward. Fresh-init
+    SpyNet emits (near-)zero flow, so the tiled path's flow clamp is
+    inactive and agreement is tight."""
+    from fvc.dist.mesh import make_mesh
+    from fvc.models.registry import get_codec_model
+    from fvc.ops.warp import warp_method
+
+    mesh = make_mesh(n_data=1, n_spatial=2, devices=jax.devices()[:2])
+    model, cfg = get_codec_model("LSVC")
+    gop, H, W = 2, 64, 64
+    x = jnp.asarray(np.random.RandomState(0).rand(
+        gop + 1, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, training=False)
+
+    with warp_method("gather"):
+        com_ref, out_ref = model.apply(variables, x, training=False)
+
+    sspec = NamedSharding(mesh, P(None, "spatial", None, None))
+    with warp_method("tiled", mesh=mesh, halo=16):
+        fwd = jax.jit(lambda v, xx: model.apply(v, xx, training=False),
+                      in_shardings=(None, sspec))
+        com_t, out_t = fwd(variables, jax.device_put(x, sspec))
+
+    np.testing.assert_allclose(np.asarray(com_t), np.asarray(com_ref),
+                               atol=2e-4)
+    assert abs(float(out_t["bpp_est"]) - float(out_ref["bpp_est"])) < 1e-3
