@@ -50,6 +50,14 @@ class CodecConfig:
     # ELFVC (models.py:2002)
     super_precision: bool = False     # '-SP'
     sp_stage: int = 1                 # staged training phase (models.py:2010)
+    flow_pred_half_res: bool = False  # '-HR': run the FlowPredictor (4x conv5
+                                      # s1 @128ch at FULL res in the reference,
+                                      # models.py:1903-1915 — 82% of ELFVC's
+                                      # FLOPs at 2048x1024) on a 2x-downsampled
+                                      # grid; the predicted motion is only a
+                                      # PRIOR (the coded delta corrects it,
+                                      # models.py:2095-2096), so quality cost
+                                      # is a rate shift, not a ceiling
 
     # MCVC (models.py:2240-2295)
     num_views: int = 0
@@ -91,7 +99,8 @@ class CodecConfig:
                 detach_tree_refs="-D" in name,
                 channels=128 if "-128" in name else OUT_CHANNEL_M)
         if "ELFVC" in name:
-            updates.update(super_precision="-SP" in name)
+            updates.update(super_precision="-SP" in name,
+                           flow_pred_half_res="-HR" in name)
         if "MCVC" in name:
             updates.update(imbalanced_attention="-IA" in name, olft="-OLFT" in name,
                            use_context_model="-CTX" in name)

@@ -49,14 +49,30 @@ class ELFVCState:
 
 
 class FlowPredictor(nn.Module):
+    """Initial-motion predictor (reference FlowPredictor, models.py:1903-1915:
+    4x conv5 s1, mid 128). `half_res=True` evaluates the stack on a
+    2x-downsampled grid and upsamples the result (flow channels scaled by 2,
+    the scale-field channel untouched) — a 4x FLOP cut on the single most
+    expensive stage of ELFVC (82% of its FLOPs at 2048x1024; the predictor's
+    output is only a prior that the coded motion delta corrects)."""
+
     mid: int = 128
+    half_res: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.half_res:
+            from fvc.ops.resize import avg_pool2
+            x = avg_pool2(x)
         x = jax.nn.relu(Conv(self.mid, kernel=5)(x))
         x = jax.nn.relu(Conv(self.mid, kernel=5)(x))
         x = jax.nn.relu(Conv(self.mid, kernel=5)(x))
-        return Conv(3, kernel=5)(x)
+        x = Conv(3, kernel=5)(x)
+        if self.half_res:
+            from fvc.ops.resize import upsample2x
+            x = upsample2x(x, align_corners=False)
+            x = jnp.concatenate([x[..., :2] * 2.0, x[..., 2:]], axis=-1)
+        return x
 
 
 class ELFVC(nn.Module):
@@ -70,7 +86,8 @@ class ELFVC(nn.Module):
     def setup(self):
         sp = self.config.super_precision
         stage = self.config.sp_stage
-        self.flow_predictor = FlowPredictor()
+        self.flow_predictor = FlowPredictor(
+            half_res=self.config.flow_pred_half_res)
         self.motion_encoder = SSFEncoder(mid=self.mid, out=self.planes)
         self.motion_decoder = SSFDecoder(mid=self.mid, out=3)
         self.motion_hyperprior = SSFHyperprior(

@@ -86,6 +86,19 @@ def main():
                     "value": round(1.0 / t, 2), "unit": "frames/s",
                     "vs_baseline": round(1.0 / t / 172.0, 3)})
 
+    # fused native-res scale-space pyramid (fvc.core.policy.ssf_pyramid):
+    # halves the forward_prediction HBM traffic, >50 dB parity
+    from fvc.core.policy import ssf_pyramid
+
+    def ssf_fwd_pyr(c):
+        with bf16_compute(), ssf_pyramid():
+            x_rec, _ = model.apply(v, c, x_ref, training=False)
+        return x_rec
+    t = chain_time(ssf_fwd_pyr, x_cur, args.iters)
+    results.append({"metric": f"ssf_pyr_{H}x{W}_pframe_encdec_fps_per_chip",
+                    "value": round(1.0 / t, 2), "unit": "frames/s",
+                    "vs_baseline": round(1.0 / t / 172.0, 3)})
+
     # --- ELFVC-SP ("Vesper"; reference encode 77 fps @2048x1024)
     model, cfg = get_codec_model("ELFVC-SP")
     st_small = model.init_state(1, 256, 256)
@@ -103,6 +116,20 @@ def main():
     results.append({"metric": f"elfvc_sp_{H}x{W}_pframe_encdec_fps_per_chip",
                     "value": round(1.0 / t, 2), "unit": "frames/s",
                     "vs_baseline": round(1.0 / t / 77.0, 3)})
+
+    # optimized variant: half-res FlowPredictor ('-HR', 2.2x FLOP cut on the
+    # dominant stage; identical param tree) + fused scale-space pyramid
+    model_hr, _ = get_codec_model("ELFVC-SP-HR")
+
+    def elfvc_hr_fwd(c):
+        with bf16_compute(), ssf_pyramid():
+            x_rec, _, _ = model_hr.apply(v, c, x_ref, state, training=False)
+        return x_rec
+    t = chain_time(elfvc_hr_fwd, x_cur, args.iters)
+    results.append(
+        {"metric": f"elfvc_sp_hr_pyr_{H}x{W}_pframe_encdec_fps_per_chip",
+         "value": round(1.0 / t, 2), "unit": "frames/s",
+         "vs_baseline": round(1.0 / t / 77.0, 3)})
 
     # --- MCVC-IA (reference decode ~4.4 ms/frame/view at 4 views, 256x256)
     V = args.mcvc_views

@@ -200,3 +200,59 @@ def test_scale_space_warp_window_differentiable():
     assert np.isfinite(np.asarray(gf)).all()
     assert np.isfinite(np.asarray(gs)).all()
     assert float(jnp.max(jnp.abs(gs))) > 0.0
+
+
+def test_forward_prediction_pyramid_parity():
+    """Fused native-res pyramid vs the materialized-volume scale-space
+    prediction (compressai ssf2020 semantics): > 40 dB on smooth content —
+    the only difference is warp/upsample order on levels whose accumulated
+    blur is sigma >= 1.5."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fvc.core.policy import ssf_pyramid
+    from fvc.models.ssf import forward_prediction
+
+    H = W = 128
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, H, W, 3).astype(np.float32)
+    k = np.ones(5, np.float32) / 5
+    for ax in (1, 2):
+        img = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, img)
+    x = jnp.asarray(img)
+    i = (np.arange(H) / H)[:, None] * np.ones((1, W))
+    j = np.ones((H, 1)) * (np.arange(W) / W)[None, :]
+    u = 0.01 * np.sin(2 * np.pi * i) * np.cos(2 * np.pi * j)
+    v = 0.008 * np.cos(2 * np.pi * (i + j))
+    s = 0.3 * np.sin(4 * np.pi * i) - 0.5
+    mi = jnp.asarray(np.stack([u, v, s], -1)[None].astype(np.float32))
+
+    ref = forward_prediction(x, mi)
+    with ssf_pyramid():
+        got = forward_prediction(x, mi)
+    err = float(jnp.mean((ref - got) ** 2))
+    psnr = -10 * np.log10(err + 1e-12)
+    assert psnr > 40.0, psnr
+
+
+def test_elfvc_hr_flow_predictor_param_compatible():
+    """'-HR' (half-res FlowPredictor) keeps the parameter tree identical to
+    the full-res model, so trained checkpoints run in either mode."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fvc.models.registry import get_codec_model
+
+    m1, _ = get_codec_model("ELFVC-SP")
+    m2, _ = get_codec_model("ELFVC-SP-HR")
+    x = jnp.zeros((1, 128, 128, 3))
+    s = m1.init_state(1, 128, 128)
+    v1 = m1.init(jax.random.PRNGKey(0), x, x, s, training=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x, x, s, training=False)
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v2))
+    # and the HR forward runs + returns the full-res reconstruction
+    x_rec, _, _ = m2.apply(v2, x, x, s, training=False)
+    assert x_rec.shape == (1, 128, 128, 3)
