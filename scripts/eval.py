@@ -70,6 +70,29 @@ def main():
         gops = [sds[i] for i in range(len(sds))]
 
     # ---- anchors ----
+    if args.codec == "mjpeg":
+        # pure-Python MJPEG-class intra anchor (real bytes; runs in-container
+        # where ffmpeg/bpg are absent) — fvc/anchors/mjpeg.py
+        from fvc.anchors.mjpeg import QUALITY_LADDER, compress_video
+        qualities = ([QUALITY_LADDER[l] for l in args.levels]
+                     if args.levels else [args.crf])
+        curve = []
+        for qual in qualities:
+            rows = [compress_video(np.asarray(g, np.float32), qual)
+                    for g in gops]
+            s = {"codec": "mjpeg", "quality": qual,
+                 "bpp_act": float(np.mean([r["bpp"] for r in rows])),
+                 "psnr": float(np.mean([r["psnr"] for r in rows]))}
+            print(json.dumps(s), flush=True)
+            curve.append(s)
+        if args.levels:
+            print(json.dumps({"rd_curve": {
+                "codec": "mjpeg",
+                "levels": qualities,
+                "bpp": [c["bpp_act"] for c in curve],
+                "psnr": [c["psnr"] for c in curve]}}))
+        return
+
     if args.codec in ("x264", "x265"):
         from fvc.anchors.x26x import compress_whole_video, ffmpeg_available
         if not ffmpeg_available():

@@ -230,3 +230,53 @@ def test_parse_eval_logs_five_entry_psnr_lines(tmp_path):
         str(log), width=640, height=960, fps=30, gop=6, segments=10)
     assert tags == ["LSVC-l1", "LSVC-l2"]
     assert abs(psnr[0, 0] - 30.1) < 1e-6 and abs(psnr[1, 0] - 33.8) < 1e-6
+
+
+def test_mjpeg_anchor_roundtrip_and_monotone():
+    """In-container anchor (fvc/anchors/mjpeg.py): real byte counts, higher
+    quality -> more bits and higher PSNR, reconstruction in [0,1]."""
+    import numpy as np
+
+    from fvc.anchors.mjpeg import compress_frame, compress_video
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(48, 64, 3).astype(np.float32)
+    k = np.ones(5, np.float32) / 5
+    for ax in (0, 1):
+        img = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), ax, img)
+
+    rec_lo, bits_lo = compress_frame(img, 10)
+    rec_hi, bits_hi = compress_frame(img, 90)
+    assert bits_hi > bits_lo > 0
+    assert rec_lo.min() >= 0.0 and rec_lo.max() <= 1.0
+    mse_lo = np.mean((rec_lo - img) ** 2)
+    mse_hi = np.mean((rec_hi - img) ** 2)
+    assert mse_hi < mse_lo
+
+    out = compress_video(np.stack([img, img]), 50)
+    assert out["bpp"] > 0 and len(out["psnr_list"]) == 2
+    assert out["recon"].shape == (2, 48, 64, 3)
+
+
+def test_committed_traces_load_and_simulate():
+    """The committed trace set (data/traces, scripts/gen_traces.py) loads
+    through the FCC CSV reader and drives the BOLA simulation."""
+    import os
+
+    import numpy as np
+
+    from fvc.sim.bola import BolaConfig, load_fcc_trace_csv, simulate_over_trace
+
+    path = "data/traces/lte_mobile.csv"
+    assert os.path.exists(path), "run scripts/gen_traces.py"
+    down, lat = load_fcc_trace_csv(path)
+    assert len(down) > 500 and np.all(down > 1e6) and np.all(down < 100e6)
+
+    L, S = 4, 50
+    bitrate = np.geomspace(1e6, 8e6, L)[:, None] * np.ones((1, S))
+    psnr = 30.0 + 3.0 * np.log2(bitrate / 1e6)
+    dect = np.full_like(bitrate, 0.16)
+    qoe, quality, rebuffer, stall, bw = simulate_over_trace(
+        psnr, bitrate, dect, down[:100], lat[:100], BolaConfig())
+    assert np.isfinite(qoe) and quality > 20.0
