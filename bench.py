@@ -168,8 +168,13 @@ def main():
     try:
         fwd1 = jax.jit(fwd)
         _, bpp_f, psnr_f = fwd1(variables, x)
-        sub["psnr_fresh"] = round(float(psnr_f), 2)
-        sub["bpp_est_fresh"] = round(float(bpp_f), 4)
+        psnr_f, bpp_f = float(psnr_f), float(bpp_f)
+        # NaN is not valid JSON and poisons the artifact — report only
+        # finite values (an undertrained/odd checkpoint can emit NaN bpp)
+        if np.isfinite(psnr_f):
+            sub["psnr_fresh"] = round(psnr_f, 2)
+        if np.isfinite(bpp_f):
+            sub["bpp_est_fresh"] = round(bpp_f, 4)
         sub["quality_ckpt"] = ckpt_used
     except Exception as e:
         log(f"# fresh-quality failed: {e}")
@@ -184,6 +189,13 @@ def main():
             mfu = (flops / t_min) / PEAK_BF16_FLOPS
             sub["mfu_bf16"] = round(mfu, 4)
             sub["program_tflops"] = round(flops / 1e12, 3)
+        byt = float(ca.get("bytes accessed", 0.0))
+        if byt > 0:
+            # the other roofline wall: fraction of the measured time that
+            # pure HBM traffic would take at v5e's 819 GB/s — >1 means the
+            # program is bandwidth-bound and MXU% is not the limiter
+            sub["program_gb_accessed"] = round(byt / 1e9, 2)
+            sub["hbm_bound_fraction"] = round((byt / 819e9) / t_min, 3)
     except Exception as e:
         log(f"# cost_analysis unavailable: {e}")
 
