@@ -230,14 +230,23 @@ def test_ladder_divergence_rollback(tmp_path):
     from fvc.models.registry import get_codec_model
     from fvc.train import ladder
 
+    import os
+
     model, _ = get_codec_model("DVC", compression_level=2)
     ds = SyntheticVideoDataset(num_videos=2, frames=3, height=64, width=64)
     root = str(tmp_path / "lad")
-    # spike_factor tiny -> every level trips the detector at each log point
-    # after its first (median established) — but rollback only fires once a
-    # checkpoint exists (ckpt_every=2).
+    # run 1: healthy (huge spike_factor) — writes the rollback targets
+    ladder.train_ladder_iterpred(
+        model, ds, levels=[0, 4], steps=4, gop=2, log_every=2,
+        ckpt_root=root, ckpt_every=2, spike_factor=1e9)
+    ckpts_before = {lvl: sorted(os.listdir(f"{root}_l{lvl}"))
+                    for lvl in (0, 4)}
+    # run 2: spike_factor tiny -> every level trips the detector at each log
+    # point after its first (median established) and restores from run 1's
+    # checkpoints; the health gate must also SKIP writing new checkpoints
+    # (a diverged level never poisons its own rollback target).
     _, hist = ladder.train_ladder_iterpred(
-        model, ds, levels=[0, 4], steps=6, gop=2, log_every=1,
+        model, ds, levels=[0, 4], steps=4, gop=2, log_every=1,
         ckpt_root=root, ckpt_every=2, spike_factor=1e-9)
     rolled = [h for h in hist if "rollback" in h]
     assert rolled, hist
@@ -245,6 +254,8 @@ def test_ladder_divergence_rollback(tmp_path):
     # training survives the rollbacks with finite losses throughout
     for h in hist:
         assert np.isfinite(h["l0"]["loss"]) and np.isfinite(h["l4"]["loss"])
+    for lvl in (0, 4):
+        assert sorted(os.listdir(f"{root}_l{lvl}")) == ckpts_before[lvl]
 
 
 def test_msssim_loss_type_trains():
