@@ -120,7 +120,9 @@ def simulate_over_trace(all_psnr: np.ndarray, all_bitrate: np.ndarray,
 
     mean_bw = float(np.mean(np.asarray(downthrpt)[: trace_idx + 1]))
     finish_time = t_decode_end + curr_q
-    rebuffer_ratio = finish_time / (num_segments * p) - 1.0
+    # playout can never finish before N*p wall seconds; the buffer-level
+    # approximation in finish_time can undershoot by <1 segment — clamp
+    rebuffer_ratio = max(finish_time / (num_segments * p) - 1.0, 0.0)
     stall_freq = stalls / num_segments
     mean_quality = quality_sum / num_segments
     qoe = mean_quality - gamma * rebuffer_ratio
