@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""End-of-round RD results: evaluate the trained ladders with REAL
+bitstreams, compute BD-rate between families and vs the in-container
+anchor, run the paper-analysis tables, and write docs/RD_RESULTS.md.
+
+Usage: python scripts/round3_results.py [--cpu] [--gop 8] [--clips 3]
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def run_eval(codec, ckpt_pattern, levels, gop, clips, cpu, extra=()):
+    cmd = [sys.executable, "scripts/eval.py", "--codec", codec,
+           "--levels", *map(str, levels), "--synthetic",
+           "--gop", str(gop), "--max-gops", str(clips),
+           "--ckpt-pattern", ckpt_pattern, "--real-bits", *extra]
+    if cpu:
+        cmd.append("--cpu")
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    rows, curve = [], None
+    for line in out.stdout.splitlines():
+        if not line.startswith("{"):
+            continue
+        obj = json.loads(line)
+        if "rd_curve" in obj:
+            curve = obj["rd_curve"]
+        elif "psnr" in obj:
+            rows.append(obj)
+    if curve is None:
+        print(out.stdout[-2000:], out.stderr[-2000:])
+        raise SystemExit(f"eval failed for {codec}")
+    return rows, curve
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gop", type=int, default=8)
+    ap.add_argument("--clips", type=int, default=3)
+    ap.add_argument("--out", default="docs/RD_RESULTS.md")
+    ap.add_argument("--skip-ablation", action="store_true")
+    args = ap.parse_args()
+
+    from fvc.train.evaluate import bd_psnr, bd_rate
+
+    results = {}
+    print("== LSVC ladder ==", flush=True)
+    results["LSVC"] = run_eval(
+        "LSVC", "ckpts/lsvc_ladder_l{level}", [0, 1, 2, 3],
+        args.gop, args.clips, args.cpu)
+    print("== DVC ladder ==", flush=True)
+    results["DVC"] = run_eval(
+        "DVC", "ckpts/dvc_ladder_l{level}", [0, 1, 2, 3],
+        args.gop, args.clips, args.cpu)
+
+    # in-container anchor curve on the SAME clips
+    from fvc.anchors.mjpeg import QUALITY_LADDER, compress_video
+    from fvc.data.datasets import SyntheticVideoDataset
+
+    sds = SyntheticVideoDataset(num_videos=args.clips, frames=args.gop,
+                                height=256, width=256)
+    gops = [sds[i] for i in range(len(sds))]
+    mj_bpp, mj_psnr = [], []
+    for q in [QUALITY_LADDER[i] for i in (0, 2, 4, 6)]:
+        rows = [compress_video(np.asarray(g, np.float32), q) for g in gops]
+        mj_bpp.append(float(np.mean([r["bpp"] for r in rows])))
+        mj_psnr.append(float(np.mean([r["psnr"] for r in rows])))
+
+    lsvc_c, dvc_c = results["LSVC"][1], results["DVC"][1]
+    bd_lsvc_vs_dvc = bd_rate(dvc_c["bpp"], dvc_c["psnr"],
+                             lsvc_c["bpp"], lsvc_c["psnr"])
+    bdp_lsvc_vs_dvc = bd_psnr(dvc_c["bpp"], dvc_c["psnr"],
+                              lsvc_c["bpp"], lsvc_c["psnr"])
+    bd_dvc_vs_mjpeg = bd_rate(mj_bpp, mj_psnr, dvc_c["bpp"], dvc_c["psnr"])
+    bd_lsvc_vs_mjpeg = bd_rate(mj_bpp, mj_psnr, lsvc_c["bpp"], lsvc_c["psnr"])
+
+    # est-vs-actual bits consistency
+    def est_act(rows):
+        return max(abs(r["bpp_act"] - r["bpp_est"]) / r["bpp_est"]
+                   for r in rows if r.get("bpp_act"))
+
+    ablation = None
+    if not args.skip_ablation:
+        print("== tree ablation ==", flush=True)
+        cmd = [sys.executable, "scripts/analysis.py", "tree-ablation",
+               "--ckpt-pattern", "ckpts/lsvc_ladder_l{level}",
+               "--levels", "1", "2", "--gop", "6", "--max-gops", "2"]
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                ablation = json.loads(line).get("tree_ablation")
+
+    def fmt_curve(name, rows, curve):
+        lines = [f"### {name}\n",
+                 "| level | lambda | bpp (real) | bpp (est) | PSNR | bpp_mv | bpp_res |",
+                 "|---|---|---|---|---|---|---|"]
+        from fvc.core.config import PSNR_LAMBDAS
+        for r in rows:
+            lines.append(
+                f"| {r['level']} | {PSNR_LAMBDAS[r['level']]} | "
+                f"{r['bpp_act']:.4f} | {r['bpp_est']:.4f} | "
+                f"{r['psnr']:.2f} | {r.get('bpp_mv', 0):.4f} | "
+                f"{r.get('bpp_res', 0):.4f} |")
+        return "\n".join(lines)
+
+    doc = ["# Round-3 rate-distortion results (trained ladders, REAL rANS "
+           "bitstreams)\n",
+           f"Setting: synthetic corpus (no Vimeo/UVG in-container), "
+           f"{args.clips} held-out clips, GOP {args.gop}, 256x256, "
+           "frame 0 = given I-frame. Every bpp_act is counted from the "
+           "actual byte strings produced by the C++ rANS coder and the "
+           "decoder output is the bitstream reconstruction.\n",
+           fmt_curve("LSVC (4-level ladder, lambda 256..2048)",
+                     *results["LSVC"]) + "\n",
+           fmt_curve("DVC (4-level ladder, lambda 256..2048)",
+                     *results["DVC"]) + "\n",
+           "### MJPEG-class intra anchor (same clips)\n",
+           "| quality | bpp (real) | PSNR |", "|---|---|---|"]
+    for q, b, p in zip([QUALITY_LADDER[i] for i in (0, 2, 4, 6)],
+                       mj_bpp, mj_psnr):
+        doc.append(f"| {q} | {b:.4f} | {p:.2f} |")
+    doc += ["\n### Bjontegaard deltas\n",
+            f"- BD-rate(LSVC vs DVC): **{bd_lsvc_vs_dvc:+.1f}%** "
+            f"(BD-PSNR {bdp_lsvc_vs_dvc:+.2f} dB) — negative = LSVC cheaper "
+            "at equal quality (the reference's core Hermes claim, "
+            "plot_hermes.py:752-769)",
+            f"- BD-rate(DVC vs MJPEG anchor): {bd_dvc_vs_mjpeg:+.1f}%",
+            f"- BD-rate(LSVC vs MJPEG anchor): {bd_lsvc_vs_mjpeg:+.1f}%",
+            f"- max |bpp_act - bpp_est|/bpp_est: LSVC "
+            f"{est_act(results['LSVC'][0]):.2%}, DVC "
+            f"{est_act(results['DVC'][0]):.2%}"]
+    if ablation:
+        doc += ["\n### LSVC tree ablation (shared trained weights; "
+                "plot_hermes.py:570-609)\n",
+                "| variant | level | bpp | PSNR | fps |", "|---|---|---|---|---|"]
+        for r in ablation:
+            doc.append(f"| {r['variant']} | {r['level']} | {r['bpp']:.3f} | "
+                       f"{r['psnr']:.2f} | {r['fps']:.1f} |")
+    with open(args.out, "w") as f:
+        f.write("\n".join(doc) + "\n")
+    print(json.dumps({
+        "bd_rate_lsvc_vs_dvc_pct": round(bd_lsvc_vs_dvc, 2),
+        "bd_psnr_lsvc_vs_dvc_db": round(bdp_lsvc_vs_dvc, 3),
+        "lsvc": lsvc_c, "dvc": dvc_c, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
