@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--mcvc-views", type=int, default=4)
+    ap.add_argument("--mcvc-view-sweep", action="store_true",
+                    help="measure 1..6 views (the reference's decode-vs-views "
+                         "table, plot_mcvc.py:713-725 / encoder fps "
+                         "train_multiview.py:545)")
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
@@ -132,6 +136,36 @@ def main():
          "vs_baseline": round(1.0 / t / 77.0, 3)})
 
     # --- MCVC-IA (reference decode ~4.4 ms/frame/view at 4 views, 256x256)
+    if args.mcvc_view_sweep:
+        # reference tables: decode w/ ACE 3.51->5.41 ms/frame/view over 1->6
+        # views (plot_mcvc.py:713-725); encoder 5.94..1.78 fps
+        # (train_multiview.py:545). Ours is the full enc+dec forward.
+        ref_ms = {1: 3.51, 2: 3.89, 3: 4.27, 4: 4.65, 5: 5.03, 6: 5.41}
+        for Vs in (1, 2, 3, 4, 5, 6):
+            model, cfg = get_codec_model("MCVC-IA", num_views=Vs)
+            xc = jnp.asarray(rng.rand(Vs, 256, 256, 3).astype(np.float32))
+            xr = jnp.asarray(np.clip(
+                np.asarray(xc) + 0.02 * rng.randn(Vs, 256, 256, 3), 0, 1)
+                .astype(np.float32))
+            mask = jnp.ones((Vs,), jnp.float32)
+            v = jax.jit(lambda k, a=xc, b=xr, m=mask: model.init(
+                k, a, b, m, training=False,
+                method=model.forward_inter))(jax.random.PRNGKey(0))
+            jax.block_until_ready(v)
+
+            def f(c, m=model, vv=v, b=xr, mk=mask):
+                with bf16_compute():
+                    out = m.apply(vv, c, b, mk, training=False,
+                                  method=m.forward_inter)
+                return out[0]
+            t = chain_time(f, xc, args.iters)
+            ms = t / Vs * 1e3
+            results.append({
+                "metric": f"mcvc_ia_256x256_{Vs}views_encdec_ms_per_frame_view",
+                "value": round(ms, 3), "unit": "ms",
+                "vs_baseline": round(ref_ms[Vs] / ms, 3)})
+            print(json.dumps(results[-1]), flush=True)
+
     V = args.mcvc_views
     model, cfg = get_codec_model("MCVC-IA", num_views=V)
     xc = jnp.asarray(rng.rand(V, 256, 256, 3).astype(np.float32))
