@@ -193,6 +193,8 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
             return model.apply(params, x_ref, x_cur, st, flag,
                                training=training, rng=rng)
 
+        from fvc.ops.ms_ssim import ms_ssim_db
+
         @jax.jit
         def run(v, frames):
             if bP:
@@ -201,12 +203,20 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
                 # prefix, the rest forward.
                 recons, outs = code_gop_bidirectional(
                     apply_fn, v, frames, state0, training=False, mid=bP)
+                tgt = jnp.concatenate(
+                    [frames[bP::-1][1:], frames[bP:][1:]], axis=0)
             else:
                 recons, outs = code_gop_scan(apply_fn, v, frames, state0,
                                              training=False)
+                tgt = frames[1:]
+            if min(H, W) >= 176:  # 5-scale MS-SSIM window floor
+                msssim = jnp.mean(ms_ssim_db(tgt[:, 0], recons[:, 0]))
+            else:
+                msssim = jnp.float32(jnp.nan)
             return (outs["bpp_est"], outs["psnr"],
                     outs.get("bpp_mv", jnp.zeros_like(outs["bpp_est"])),
-                    outs.get("bpp_res", jnp.zeros_like(outs["bpp_est"])))
+                    outs.get("bpp_res", jnp.zeros_like(outs["bpp_est"])),
+                    msssim)
 
         codec = None
         if real_bits:
@@ -219,13 +229,14 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
         for g in gops:
             frames = jnp.asarray(g)[:, None]
             t0 = time.perf_counter()
-            bpps, psnrs, bpps_mv, bpps_res = run(variables, frames)
+            bpps, psnrs, bpps_mv, bpps_res, msssim = run(variables, frames)
             jax.block_until_ready(psnrs)
             dt = time.perf_counter() - t0
             r = {"bpp": float(jnp.mean(bpps)), "psnr": float(jnp.mean(psnrs)),
                  "psnr_list": np.asarray(psnrs).tolist(),
                  "bpp_mv": float(jnp.mean(bpps_mv)),
                  "bpp_res": float(jnp.mean(bpps_res)),
+                 "msssim_db": float(msssim),
                  "time_per_frame": dt / (g.shape[0] - 1)}
             if codec is not None:
                 fr = np.asarray(frames)

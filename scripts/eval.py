@@ -176,6 +176,10 @@ def main():
         # motion/residual bit-allocation split (plot_hermes.py:708-719) and
         # per-frame PSNR across the GOP for error-propagation analysis
         # (plot_hermes.py:814-831) — present when the family reports them
+        mss = [r["msssim_db"] for r in results
+               if np.isfinite(r.get("msssim_db", float("nan")))]
+        if mss:
+            summary["msssim_db"] = float(np.mean(mss))
         if any("bpp_mv" in r for r in results):
             summary["bpp_mv"] = float(
                 np.mean([r.get("bpp_mv", 0.0) for r in results]))
