@@ -107,10 +107,18 @@ def laplace_interval_likelihood(
     c = x if mu is None else x - mu.astype(jnp.float32)
     a = jnp.abs(c)
     inv_s = 1.0 / sigma
-    # |c| >= 0.5 branch
-    p_tail = 0.5 * jnp.exp(-(a - 0.5) * inv_s) * (-jnp.expm1(-inv_s))
-    # |c| < 0.5 branch
-    p_center = 1.0 - 0.5 * (jnp.exp(-(0.5 - a) * inv_s) + jnp.exp(-(0.5 + a) * inv_s))
+    # Safe-where: each branch must be FINITE (value AND grad) even where it
+    # is not selected — jnp.where multiplies the unselected branch's cotangent
+    # by 0, and 0*inf = NaN. Without the max() clamps, the tail branch
+    # computes exp(+(0.5-a)/sigma) for a < 0.5 (overflow at small sigma) and
+    # the center branch exp(+(a-0.5)/sigma) for a > 0.5. This NaN silently
+    # froze ALL transform-path gradients through bpp_res for a whole training
+    # stage (zero_nans ate it); keep the clamps.
+    d_tail = jnp.maximum(a - 0.5, 0.0)
+    p_tail = 0.5 * jnp.exp(-d_tail * inv_s) * (-jnp.expm1(-inv_s))
+    d_center = jnp.maximum(0.5 - a, 0.0)
+    p_center = 1.0 - 0.5 * (jnp.exp(-d_center * inv_s)
+                            + jnp.exp(-(0.5 + a) * inv_s))
     return jnp.where(a >= 0.5, p_tail, p_center)
 
 

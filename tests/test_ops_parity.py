@@ -371,3 +371,26 @@ def test_bilinear_resize_integer_factor_matches_torch():
                             mode="bilinear", align_corners=False)
         np.testing.assert_allclose(out, ref.permute(0, 2, 3, 1).numpy(),
                                    atol=1e-6)
+
+
+def test_laplace_likelihood_gradients_finite_at_extremes():
+    """Regression: at small sigma the unselected where-branch used to
+    overflow (exp(+(0.5-a)/sigma)) and poison gradients with 0*inf = NaN —
+    which froze every transform-path gradient through bpp_res while
+    optax.zero_nans silently ate it. Both value and grad must be finite for
+    any (x, sigma_raw) with sigma = exp(min(raw, 50))."""
+    from fvc.ops.math import bits_from_likelihood, laplace_interval_likelihood
+
+    def f(x, raw):
+        s = jnp.exp(jnp.minimum(raw, 50.0))
+        return jnp.sum(bits_from_likelihood(
+            laplace_interval_likelihood(x[None], s[None])))
+
+    for raw in (-200.0, -50.0, -11.6, -5.0, 0.0, 10.0, 50.0):
+        for xv in (0.0, 0.3, 0.7, 5.0, 100.0, 3000.0):
+            v = f(jnp.float32(xv), jnp.float32(raw))
+            gx, gr = jax.grad(f, argnums=(0, 1))(jnp.float32(xv),
+                                                 jnp.float32(raw))
+            assert np.isfinite(float(v)), (xv, raw, float(v))
+            assert np.isfinite(float(gx)) and np.isfinite(float(gr)), (
+                xv, raw, float(gx), float(gr))
