@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--clips", type=int, default=3)
     ap.add_argument("--out", default="docs/RD_RESULTS.md")
     ap.add_argument("--skip-ablation", action="store_true")
+    # ladder checkpoints live in git-tracked trained/ (round-3b: the
+    # gitignored ckpts/ runs were lost to a container reset)
+    ap.add_argument("--lsvc-ckpt", default="trained/lsvc_ladder_l{level}")
+    ap.add_argument("--dvc-ckpt", default="trained/dvc_ladder_l{level}")
     args = ap.parse_args()
 
     from fvc.train.evaluate import bd_psnr, bd_rate
@@ -53,11 +57,11 @@ def main():
     results = {}
     print("== LSVC ladder ==", flush=True)
     results["LSVC"] = run_eval(
-        "LSVC", "ckpts/lsvc_ladder_l{level}", [0, 1, 2, 3],
+        "LSVC", args.lsvc_ckpt, [0, 1, 2, 3],
         args.gop, args.clips, args.cpu)
     print("== DVC ladder ==", flush=True)
     results["DVC"] = run_eval(
-        "DVC", "ckpts/dvc_ladder_l{level}", [0, 1, 2, 3],
+        "DVC", args.dvc_ckpt, [0, 1, 2, 3],
         args.gop, args.clips, args.cpu)
 
     # in-container anchor curve on the SAME clips
@@ -90,7 +94,7 @@ def main():
     if not args.skip_ablation:
         print("== tree ablation ==", flush=True)
         cmd = [sys.executable, "scripts/analysis.py", "tree-ablation",
-               "--ckpt-pattern", "ckpts/lsvc_ladder_l{level}",
+               "--ckpt-pattern", args.lsvc_ckpt,
                "--levels", "1", "2", "--gop", "6", "--max-gops", "2"]
         out = subprocess.run(cmd, capture_output=True, text=True)
         for line in out.stdout.splitlines():
