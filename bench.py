@@ -69,7 +69,7 @@ def main():
                     help="B concurrent streams vmapped into one program "
                          "(serving throughput per chip); 0 disables")
     ap.add_argument("--no-1080p", action="store_true")
-    ap.add_argument("--ckpt", default="ckpts/lsvc_ladder_l2",
+    ap.add_argument("--ckpt", default="trained/lsvc_ladder_l2",
                     help="LSVC checkpoint dir for REAL quality fields "
                          "(falls back to pretrained_lsvc_l2, then fresh "
                          "init, whichever exists)")

