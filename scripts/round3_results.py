@@ -50,6 +50,7 @@ def main():
     # gitignored ckpts/ runs were lost to a container reset)
     ap.add_argument("--lsvc-ckpt", default="trained/lsvc_ladder_l{level}")
     ap.add_argument("--dvc-ckpt", default="trained/dvc_ladder_l{level}")
+    ap.add_argument("--m-ckpt", default="trained/dvc_m_l1")
     args = ap.parse_args()
 
     from fvc.train.evaluate import bd_psnr, bd_rate
@@ -89,6 +90,19 @@ def main():
     def est_act(rows):
         return max(abs(r["bpp_act"] - r["bpp_est"]) / r["bpp_est"]
                    for r in rows if r.get("bpp_act"))
+
+    # MS-SSIM-trained operating point (VERDICT #6; reference M ladder
+    # [8,16,32,64], models.py:72-76) — included when the checkpoint exists
+    import os
+
+    m_rows = None
+    if os.path.isdir(args.m_ckpt):
+        print("== MS-SSIM point ==", flush=True)
+        try:
+            m_rows, _ = run_eval("DVC", args.m_ckpt, [1], args.gop,
+                                 args.clips, args.cpu)
+        except SystemExit:
+            m_rows = None
 
     ablation = None
     if not args.skip_ablation:
@@ -140,6 +154,41 @@ def main():
             f"- max |bpp_act - bpp_est|/bpp_est: LSVC "
             f"{est_act(results['LSVC'][0]):.2%}, DVC "
             f"{est_act(results['DVC'][0]):.2%}"]
+    if m_rows:
+        r = m_rows[0]
+        doc += ["\n### MS-SSIM-trained operating point (loss_type M, "
+                "lambda ladder [8,16,32,64] level 1; models.py:72-76)\n",
+                f"DVC-M l1: bpp_act {r['bpp_act']:.4f}, MS-SSIM "
+                f"{r['msssim_db']:.2f} dB, PSNR {r['psnr']:.2f} dB "
+                "(real-bits end-to-end through the same rANS path)"]
+
+    # error propagation: per-frame PSNR across the GOP (plot_hermes.py:814-831)
+    doc += ["\n### Error propagation: per-frame PSNR across the GOP "
+            "(plot_hermes.py:814-831)\n",
+            "DVC predicts each frame from the previous reconstruction, so "
+            "errors compound along the chain; LSVC's tree bounds the "
+            "reference depth at O(log GOP).\n"]
+    for name in ("LSVC", "DVC"):
+        rows = results[name][0]
+        per = [r["psnr_per_frame"] for r in rows if r.get("psnr_per_frame")]
+        if not per:
+            continue
+        n = min(len(p) for p in per)
+        mean = np.mean([p[:n] for p in per], axis=0)
+        doc += [f"{name} (mean over levels): " +
+                " ".join(f"{v:.2f}" for v in mean) +
+                f"  (frame1 - frameN = {mean[0] - mean[-1]:+.2f} dB)"]
+    # bit allocation: motion vs residual split (plot_hermes.py:708-719)
+    doc += ["\n### Bit allocation: motion vs residual share "
+            "(plot_hermes.py:708-719)\n",
+            "| codec | level | bpp_mv | bpp_res | mv share |",
+            "|---|---|---|---|---|"]
+    for name in ("LSVC", "DVC"):
+        for r in results[name][0]:
+            mv, res = r.get("bpp_mv", 0.0), r.get("bpp_res", 0.0)
+            tot = (mv + res) or 1.0
+            doc.append(f"| {name} | {r['level']} | {mv:.4f} | {res:.4f} | "
+                       f"{mv / tot:.1%} |")
     if ablation:
         doc += ["\n### LSVC tree ablation (shared trained weights; "
                 "plot_hermes.py:570-609)\n",
