@@ -40,17 +40,26 @@ def bitparm_cdf_tables(cdf_fn, channels: int, mxrange: int = 150,
     16-bit coder's minimum freq of 1, stealing ~(2*mxrange)/2^16 ~ 0.5% of
     probability mass from the peak — ~0.005 bits/symbol across tens of
     thousands of almost-always-zero latents (+18% measured on a 0.045 bpp
-    DVC stream). Both encoder and decoder rebuild the tables from the same
-    params, so the trim is deterministic and needs no side information.
+    DVC stream).
+
+    DETERMINISM INVARIANT: encoder and decoder MUST rebuild these tables
+    from bit-identical cdf_fn evaluations (same params, same backend /
+    precision) — the whole table layout (lo/hi window AND quantized freqs)
+    derives from them, and any divergence desyncs the stream. To keep the
+    table pipeline itself deterministic given identical cdf_fn outputs, the
+    pmf is computed in float64 and snapped to a 2^-30 grid before the
+    support test and quantization, so no downstream float wobble can flip
+    a grid point at the support_eps threshold.
     """
     import jax.numpy as jnp
 
     grid = np.arange(-mxrange, mxrange + 1, dtype=np.float32)
     # evaluate F at k +/- 0.5 for all channels at once: [G, C]
     xs = np.broadcast_to(grid[:, None], (grid.size, channels)).copy()
-    upper = np.asarray(cdf_fn(jnp.asarray(xs + 0.5)))
-    lower = np.asarray(cdf_fn(jnp.asarray(xs - 0.5)))
+    upper = np.asarray(cdf_fn(jnp.asarray(xs + 0.5)), np.float64)
+    lower = np.asarray(cdf_fn(jnp.asarray(xs - 0.5)), np.float64)
     pmf = np.clip(upper - lower, 0.0, 1.0)  # [G, C]
+    pmf = np.round(pmf * (1 << 30)) / float(1 << 30)
     L = grid.size
     center = mxrange  # grid index of symbol 0
     los = np.zeros(channels, np.int64)

@@ -79,3 +79,70 @@ def ms_ssim_db(x: jax.Array, y: jax.Array) -> jax.Array:
     """-10 log10(1 - msssim), the reference's MS-SSIM "quality" (models.py:475-487)."""
     q = ms_ssim(x, y)
     return -10.0 * jnp.log(jnp.maximum(1.0 - q, 1e-12)) / jnp.log(10.0)
+
+
+# ---------------------------------------------------------------------------
+# Host-side float64 evaluation path.
+#
+# In f32 the metric saturates: near-perfect reconstructions give
+# 1 - msssim ~ 1e-7, which is pure mantissa rounding noise, so the dB
+# transform returns garbage in the 70+ dB range that jumps across adjacent
+# rate points. Eval therefore computes the REPORTED metric on host in f64
+# (resolution ~1e-16) and caps the dB transform where even f64 is noise.
+# ---------------------------------------------------------------------------
+
+def _filt_np(x, k):
+    import numpy as np
+
+    x = np.apply_along_axis(lambda m: np.convolve(m, k, mode="valid"), 1, x)
+    return np.apply_along_axis(lambda m: np.convolve(m, k, mode="valid"), 2, x)
+
+
+def _pool_np(x):
+    import numpy as np
+
+    _, h, w, _ = x.shape
+    if h % 2 or w % 2:
+        x = np.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+    return 0.25 * (x[:, ::2, ::2] + x[:, 1::2, ::2]
+                   + x[:, ::2, 1::2] + x[:, 1::2, 1::2])
+
+
+def ms_ssim_np(x, y, data_range: float = 1.0):
+    """float64 host MS-SSIM, same math as `ms_ssim`. x, y: [B,H,W,C]."""
+    import numpy as np
+
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    size, sigma = 11, 1.5
+    t = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    k = np.exp(-(t ** 2) / (2.0 * sigma ** 2))
+    k /= k.sum()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    weights = np.asarray(_WEIGHTS, np.float64)
+    mcs = []
+    for i in range(len(weights)):
+        mu_x, mu_y = _filt_np(x, k), _filt_np(y, k)
+        sxx = _filt_np(x * x, k) - mu_x * mu_x
+        syy = _filt_np(y * y, k) - mu_y * mu_y
+        sxy = _filt_np(x * y, k) - mu_x * mu_y
+        cs = (2.0 * sxy + c2) / (sxx + syy + c2)
+        ssim = ((2.0 * mu_x * mu_y + c1)
+                / (mu_x * mu_x + mu_y * mu_y + c1)) * cs
+        cs_m = np.maximum(cs.mean(axis=(1, 2, 3)), 0.0)
+        ssim_m = np.maximum(ssim.mean(axis=(1, 2, 3)), 0.0)
+        if i < len(weights) - 1:
+            mcs.append(cs_m)
+            x, y = _pool_np(x), _pool_np(y)
+    stack = np.stack(mcs + [ssim_m], axis=0)  # [L, B]
+    return np.prod(stack ** weights[:, None], axis=0)
+
+
+def ms_ssim_db_np(x, y):
+    """Host-f64 -10 log10(1 - msssim), capped at 1e-10 (100 dB) where the
+    residual is numerically indistinguishable from zero."""
+    import numpy as np
+
+    q = ms_ssim_np(x, y)
+    return -10.0 * np.log10(np.maximum(1.0 - q, 1e-10))

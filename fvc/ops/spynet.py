@@ -30,19 +30,33 @@ from fvc.ops.warp import flow_warp
 class MEBasic(nn.Module):
     """8 -> 32 -> 64 -> 32 -> 16 -> 2, all 7x7 stride 1.
 
-    When H and W are even the whole stack runs space_to_depth(2)-packed
-    (32 -> 128 -> 256 -> 128 -> 64 -> 8 channels at half resolution) — an
-    exact transform that keeps the tiny-channel 7x7 convs on the MXU's fast
-    path (fvc.ops.conv.pack_s2d_weights); parameters stay canonical."""
+    When H and W divide by the packing factor the whole stack runs
+    space_to_depth(r)-packed — an exact transform that keeps the
+    tiny-channel 7x7 convs on the MXU's fast path
+    (fvc.ops.conv.pack_s2d_weights); parameters stay canonical.
+
+    `s2d_max` caps the packing factor (largest r in {4, 2, 1} that divides
+    both dims is used). r=2 gives 32..256-channel convs with a 5x5 packed
+    kernel (2.04x structural-zero FLOPs); r=4 gives 128..1024-channel 3x3
+    convs at 1/16 the positions (2.94x structural FLOPs) — on the MXU the
+    wider contraction more than pays for the extra FLOPs at tiny channel
+    counts. The env var FVC_SPYNET_S2D overrides (read at trace time)."""
+
+    s2d_max: int = 2
 
     @nn.compact
     def __call__(self, x):
         from fvc.ops.conv import depth_to_space, space_to_depth
 
-        packed = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-        r = 2 if packed else 1
-        if packed:
-            x = space_to_depth(x, 2)
+        r_max = int(os.environ.get("FVC_SPYNET_S2D", self.s2d_max))
+        r = 1
+        for cand in (4, 2):
+            if (cand <= r_max and x.shape[1] % cand == 0
+                    and x.shape[2] % cand == 0):
+                r = cand
+                break
+        if r > 1:
+            x = space_to_depth(x, r)
         x = jax.nn.relu(Conv(32, kernel=7, s2d=r)(x))
         x = jax.nn.relu(Conv(64, kernel=7, s2d=r)(x))
         x = jax.nn.relu(Conv(32, kernel=7, s2d=r)(x))
@@ -50,7 +64,7 @@ class MEBasic(nn.Module):
         # zero-init: each pyramid level starts as "keep the upsampled coarse
         # flow" (see Conv.zero_init); pretrained .npy weights override this
         x = Conv(2, kernel=7, zero_init=True, s2d=r)(x)
-        return depth_to_space(x, 2) if packed else x
+        return depth_to_space(x, r) if r > 1 else x
 
 
 class SpyNet(nn.Module):

@@ -14,6 +14,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -33,6 +34,15 @@ def save_checkpoint(directory: str, step: int, payload: Any, *,
 def restore_checkpoint(path: str, reference: Any) -> Any:
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), reference)
+
+
+def restore_raw(path: str) -> Any:
+    """Restore a checkpoint into ITS OWN saved structure (no reference tree).
+    Needed to graft across model variants whose pytrees differ — e.g. the
+    MCVC views=1/resilience=0 pretrain into a views=V/resilience=1 model
+    (reference load_state_dict_with_copy, models.py:442-448)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
@@ -68,10 +78,17 @@ def load_whatever(target, source):
     def merge(path, leaf):
         key = jax.tree_util.keystr(path)
         if key in src and np.shape(src[key]) == np.shape(leaf):
-            return src[key]
+            return _cast_like(src[key], leaf)
         return leaf
 
     return jax.tree_util.tree_map_with_path(merge, target)
+
+
+def _cast_like(value, leaf):
+    """Match the target leaf's dtype (a bf16-policy checkpoint grafted into
+    an f32 model would otherwise poison mixed-dtype convs)."""
+    dt = getattr(leaf, "dtype", None)
+    return value if dt is None else jnp.asarray(value, dt)
 
 
 def load_only(target, source, keyword: str):
@@ -82,7 +99,7 @@ def load_only(target, source, keyword: str):
     def merge(path, leaf):
         key = jax.tree_util.keystr(path)
         if keyword in key and key in src and np.shape(src[key]) == np.shape(leaf):
-            return src[key]
+            return _cast_like(src[key], leaf)
         return leaf
 
     return jax.tree_util.tree_map_with_path(merge, target)
@@ -102,7 +119,7 @@ def load_with_copy(target, source, *, backup_map=(
             if backup in key:
                 donor_key = key.replace(backup, donor)
                 if donor_key in src and np.shape(src[donor_key]) == np.shape(leaf):
-                    return src[donor_key]
+                    return _cast_like(src[donor_key], leaf)
         return leaf
 
     return jax.tree_util.tree_map_with_path(merge, out)

@@ -24,14 +24,15 @@ def eval_lsvc_on_gops(model, variables, gops, *, i_codec=None, i_vars=None):
     and its bpp accounted (parallel_compression models.py:249-256)."""
     results = []
 
-    from fvc.ops.ms_ssim import ms_ssim_db
+    from fvc.ops.ms_ssim import ms_ssim_db_np
 
     @jax.jit
     def run(variables, x):
         com, out = model.apply(variables, x, training=False)
-        msssim = jnp.mean(ms_ssim_db(x[1:], com))
-        # motion/residual bit split (plot_hermes.py:708-719 analysis)
-        return (out["bpp_est"], out["psnr"], out["psnr_list"], msssim,
+        # motion/residual bit split (plot_hermes.py:708-719 analysis);
+        # recon returned for the host-f64 MS-SSIM (the on-device f32 metric
+        # saturates into noise above ~70 dB — see fvc.ops.ms_ssim)
+        return (out["bpp_est"], out["psnr"], out["psnr_list"], com,
                 out.get("bpp_mv", jnp.float32(0)),
                 out.get("bpp_res", jnp.float32(0)))
 
@@ -49,12 +50,14 @@ def eval_lsvc_on_gops(model, variables, gops, *, i_codec=None, i_vars=None):
             x0_hat, i_bpp, i_psnr = i_run(i_vars, x[:1])
             x = x.at[0].set(x0_hat[0])
         t0 = time.perf_counter()
-        bpp, psnr, psnr_list, msssim, bpp_mv, bpp_res = run(variables, x)
+        bpp, psnr, psnr_list, com, bpp_mv, bpp_res = run(variables, x)
         jax.block_until_ready(psnr)
         dt = time.perf_counter() - t0
+        msssim = float(np.mean(ms_ssim_db_np(np.asarray(x[1:]),
+                                             np.asarray(com))))
         results.append({
             "bpp": float(bpp), "psnr": float(psnr),
-            "msssim_db": float(msssim),
+            "msssim_db": msssim,
             "psnr_list": np.asarray(psnr_list).tolist(),
             "bpp_mv": float(bpp_mv), "bpp_res": float(bpp_res),
             "time_per_frame": dt / (x.shape[0] - 1),
@@ -193,7 +196,7 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
             return model.apply(params, x_ref, x_cur, st, flag,
                                training=training, rng=rng)
 
-        from fvc.ops.ms_ssim import ms_ssim_db
+        from fvc.ops.ms_ssim import ms_ssim_db_np
 
         @jax.jit
         def run(v, frames):
@@ -209,14 +212,10 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
                 recons, outs = code_gop_scan(apply_fn, v, frames, state0,
                                              training=False)
                 tgt = frames[1:]
-            if min(H, W) >= 176:  # 5-scale MS-SSIM window floor
-                msssim = jnp.mean(ms_ssim_db(tgt[:, 0], recons[:, 0]))
-            else:
-                msssim = jnp.float32(jnp.nan)
             return (outs["bpp_est"], outs["psnr"],
                     outs.get("bpp_mv", jnp.zeros_like(outs["bpp_est"])),
                     outs.get("bpp_res", jnp.zeros_like(outs["bpp_est"])),
-                    msssim)
+                    recons[:, 0], tgt[:, 0])
 
         codec = None
         if real_bits:
@@ -229,14 +228,20 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
         for g in gops:
             frames = jnp.asarray(g)[:, None]
             t0 = time.perf_counter()
-            bpps, psnrs, bpps_mv, bpps_res, msssim = run(variables, frames)
+            bpps, psnrs, bpps_mv, bpps_res, recons, tgt = run(variables,
+                                                              frames)
             jax.block_until_ready(psnrs)
             dt = time.perf_counter() - t0
+            if min(H, W) >= 176:  # 5-scale MS-SSIM window floor
+                msssim = float(np.mean(ms_ssim_db_np(np.asarray(tgt),
+                                                     np.asarray(recons))))
+            else:
+                msssim = float("nan")
             r = {"bpp": float(jnp.mean(bpps)), "psnr": float(jnp.mean(psnrs)),
                  "psnr_list": np.asarray(psnrs).tolist(),
                  "bpp_mv": float(jnp.mean(bpps_mv)),
                  "bpp_res": float(jnp.mean(bpps_res)),
-                 "msssim_db": float(msssim),
+                 "msssim_db": msssim,
                  "time_per_frame": dt / (g.shape[0] - 1)}
             if codec is not None:
                 fr = np.asarray(frames)

@@ -181,11 +181,19 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
                           log_every: int = 50,
                           ckpt_root: Optional[str] = None,
                           ckpt_every: int = 5000, step_offset: int = 0,
-                          init_params=None, spike_factor: float = 10.0):
-    """DVC/RLVC ladder (scan engine, reference loss train.py:185-207)."""
+                          init_params=None, spike_factor: float = 10.0,
+                          loss_type: str = "P"):
+    """DVC/RLVC ladder (scan engine, reference loss train.py:185-207).
+
+    loss_type 'M' trains the MS-SSIM operating points: distortion is
+    1 - ms_ssim(recon, target) with the [8,16,32,64] ladder
+    (reference models.py:72-76 init_training_params loss_type=='M')."""
     from fvc.gop.engine import code_gop_scan
 
-    lambdas = jnp.asarray([PSNR_LAMBDAS[l] for l in levels], jnp.float32)
+    from fvc.core.config import MSSSIM_LAMBDAS
+
+    table = PSNR_LAMBDAS if loss_type == "P" else MSSSIM_LAMBDAS
+    lambdas = jnp.asarray([table[l] for l in levels], jnp.float32)
     sample = jnp.asarray(dataset[0][: gop + 1])
     state0 = model.init_state(1, sample.shape[1], sample.shape[2])
 
@@ -201,9 +209,18 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
                            training=training, rng=rng)
 
     def loss_fn(params, lam, frames, key):
-        _, outs = code_gop_scan(apply_fn, params, frames, state0,
-                                training=True, rng=key)
-        return jnp.mean(lam * outs["img_loss"] + outs["bpp_est"]), outs
+        recons, outs = code_gop_scan(apply_fn, params, frames, state0,
+                                     training=True, rng=key)
+        if loss_type == "M":
+            from fvc.ops.ms_ssim import ms_ssim
+
+            H, W, C = recons.shape[-3:]
+            dist = jnp.mean(1.0 - ms_ssim(
+                recons.reshape(-1, H, W, C).astype(jnp.float32),
+                frames[1:].reshape(-1, H, W, C).astype(jnp.float32)))
+        else:
+            dist = jnp.mean(outs["img_loss"])
+        return lam * dist + jnp.mean(outs["bpp_est"]), outs
 
     return _ladder_loop(loss_fn, init_params, lambdas, levels, dataset,
                         steps=steps, gop=gop, learning_rate=learning_rate,

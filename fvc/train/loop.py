@@ -558,11 +558,12 @@ def probe_sample_interval(touchup_bpp_ratio: float, bw_limit_ratio: float = 0.1)
 def pretrain_multiview(model, cfg: CodecConfig, dataset, *,
                        steps: int = 20, learning_rate: float = 1e-4,
                        seed: int = 0, converge_patience: int = 10,
-                       min_delta: float = 1e-4):
+                       min_delta: float = 1e-4, init_params=None):
     """MCVC pretraining (train_multiview.py --pretrain, :508-533): full-model
     RD training on single-view clips (views enter the batch dim), with the
     reference's converge-N early stop (no improvement > min_delta for
-    `converge_patience` evals)."""
+    `converge_patience` evals). `init_params` warm-starts (the reference's
+    per-scene fine-tune resumes the single-view pretrain, :487-533)."""
     from fvc.models.mcvc import mcvc_gop_metrics, sample_view_mask
 
     rng = np.random.RandomState(seed)
@@ -570,8 +571,9 @@ def pretrain_multiview(model, cfg: CodecConfig, dataset, *,
     G, V, H, W, _ = first.shape
     frames0 = jnp.asarray(first)
     mask0 = jnp.ones((V,), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), frames0, mask0,
-                           training=True, rng=jax.random.PRNGKey(seed + 1))
+    variables = init_params if init_params is not None else model.init(
+        jax.random.PRNGKey(seed), frames0, mask0,
+        training=True, rng=jax.random.PRNGKey(seed + 1))
     optimizer = make_optimizer(learning_rate, clip_norm=None)
     opt_state = optimizer.init(variables)
 

@@ -1,19 +1,32 @@
 #!/usr/bin/env python
-"""End-of-round RD results: evaluate the trained ladders with REAL
-bitstreams, compute BD-rate between families and vs the in-container
-anchor, run the paper-analysis tables, and write docs/RD_RESULTS.md.
+"""End-of-round RD results (round 4): evaluate the trained ladders with REAL
+bitstreams, compute BD-rate between families and vs the in-container anchor,
+run the paper-analysis tables, and write docs/RD_RESULTS.md.
 
-Usage: python scripts/round3_results.py [--cpu] [--gop 8] [--clips 3]
+Round-4 deltas over round3_results.py:
+- the DVC ladder moved to levels [0,2,4,6] (lambda 256/1024/4096/16384 — the
+  64x span that actually separates; VERDICT r03 #2),
+- the MS-SSIM section evaluates the full DVC-M ladder (lambda [8,16,32,64],
+  models.py:72-76) instead of a single point, with msssim_db guarded
+  (ADVICE r03 #2),
+- a multiview section reads the trained MCVC-IA finetune/benchmark/OLFT logs,
+- the error-propagation table carries an explicit drift gate
+  (<= 2 dB over the GOP; plot_hermes.py:814-831).
+
+Usage: python scripts/round4_results.py [--cpu] [--gop 8] [--clips 3]
 """
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+DRIFT_GATE_DB = 2.0  # frame1 - frameN PSNR drift gate (plot_hermes.py:814-831)
 
 
 def run_eval(codec, ckpt_pattern, levels, gop, clips, cpu, extra=()):
@@ -39,6 +52,13 @@ def run_eval(codec, ckpt_pattern, levels, gop, clips, cpu, extra=()):
     return rows, curve
 
 
+def read_jsonl(path):
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip().startswith("{")]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -46,23 +66,27 @@ def main():
     ap.add_argument("--clips", type=int, default=3)
     ap.add_argument("--out", default="docs/RD_RESULTS.md")
     ap.add_argument("--skip-ablation", action="store_true")
-    # ladder checkpoints live in git-tracked trained/ (round-3b: the
-    # gitignored ckpts/ runs were lost to a container reset)
+    ap.add_argument("--skip-m", action="store_true")
+    # ladder checkpoints live in git-tracked trained/ (round-3 reset lesson)
     ap.add_argument("--lsvc-ckpt", default="trained/lsvc_ladder_l{level}")
+    ap.add_argument("--lsvc-levels", type=int, nargs="+", default=[0, 1, 2, 3])
     ap.add_argument("--dvc-ckpt", default="trained/dvc_ladder_l{level}")
-    ap.add_argument("--m-ckpt", default="trained/dvc_m_l1")
+    ap.add_argument("--dvc-levels", type=int, nargs="+", default=[0, 2, 4, 6])
+    ap.add_argument("--m-ckpt", default="trained/dvc_m_l{level}")
+    ap.add_argument("--m-levels", type=int, nargs="+", default=[0, 1, 2, 3])
     args = ap.parse_args()
 
+    from fvc.core.config import MSSSIM_LAMBDAS, PSNR_LAMBDAS
     from fvc.train.evaluate import bd_psnr, bd_rate
 
     results = {}
     print("== LSVC ladder ==", flush=True)
     results["LSVC"] = run_eval(
-        "LSVC", args.lsvc_ckpt, [0, 1, 2, 3],
+        "LSVC", args.lsvc_ckpt, args.lsvc_levels,
         args.gop, args.clips, args.cpu)
     print("== DVC ladder ==", flush=True)
     results["DVC"] = run_eval(
-        "DVC", args.dvc_ckpt, [0, 1, 2, 3],
+        "DVC", args.dvc_ckpt, args.dvc_levels,
         args.gop, args.clips, args.cpu)
 
     # in-container anchor curve on the SAME clips
@@ -72,8 +96,9 @@ def main():
     sds = SyntheticVideoDataset(num_videos=args.clips, frames=args.gop,
                                 height=256, width=256)
     gops = [sds[i] for i in range(len(sds))]
+    mj_q = [QUALITY_LADDER[i] for i in (0, 2, 4, 6)]
     mj_bpp, mj_psnr = [], []
-    for q in [QUALITY_LADDER[i] for i in (0, 2, 4, 6)]:
+    for q in mj_q:
         rows = [compress_video(np.asarray(g, np.float32), q) for g in gops]
         mj_bpp.append(float(np.mean([r["bpp"] for r in rows])))
         mj_psnr.append(float(np.mean([r["psnr"] for r in rows])))
@@ -88,19 +113,19 @@ def main():
 
     # est-vs-actual bits consistency
     def est_act(rows):
-        return max(abs(r["bpp_act"] - r["bpp_est"]) / r["bpp_est"]
-                   for r in rows if r.get("bpp_act"))
+        vals = [abs(r["bpp_act"] - r["bpp_est"]) / r["bpp_est"]
+                for r in rows if r.get("bpp_act")]
+        return max(vals) if vals else float("nan")
 
-    # MS-SSIM-trained operating point (VERDICT #6; reference M ladder
-    # [8,16,32,64], models.py:72-76) — included when the checkpoint exists
-    import os
-
+    # MS-SSIM-trained ladder (VERDICT r03 #8; reference M ladder
+    # [8,16,32,64], models.py:72-76)
     m_rows = None
-    if os.path.isdir(args.m_ckpt):
-        print("== MS-SSIM point ==", flush=True)
+    if not args.skip_m and os.path.isdir(
+            args.m_ckpt.format(level=args.m_levels[0])):
+        print("== MS-SSIM ladder ==", flush=True)
         try:
-            m_rows, _ = run_eval("DVC", args.m_ckpt, [1], args.gop,
-                                 args.clips, args.cpu)
+            m_rows, _ = run_eval("DVC", args.m_ckpt, args.m_levels,
+                                 args.gop, args.clips, args.cpu)
         except SystemExit:
             m_rows = None
 
@@ -117,32 +142,34 @@ def main():
 
     def fmt_curve(name, rows, curve):
         lines = [f"### {name}\n",
-                 "| level | lambda | bpp (real) | bpp (est) | PSNR | bpp_mv | bpp_res |",
-                 "|---|---|---|---|---|---|---|"]
-        from fvc.core.config import PSNR_LAMBDAS
+                 "| level | lambda | bpp (real) | bpp (est) | PSNR | "
+                 "MS-SSIM dB | bpp_mv | bpp_res |",
+                 "|---|---|---|---|---|---|---|---|"]
         for r in rows:
+            mss = r.get("msssim_db", float("nan"))
             lines.append(
                 f"| {r['level']} | {PSNR_LAMBDAS[r['level']]} | "
                 f"{r['bpp_act']:.4f} | {r['bpp_est']:.4f} | "
-                f"{r['psnr']:.2f} | {r.get('bpp_mv', 0):.4f} | "
+                f"{r['psnr']:.2f} | {mss:.2f} | {r.get('bpp_mv', 0):.4f} | "
                 f"{r.get('bpp_res', 0):.4f} |")
         return "\n".join(lines)
 
-    doc = ["# Round-3 rate-distortion results (trained ladders, REAL rANS "
+    doc = ["# Round-4 rate-distortion results (trained ladders, REAL rANS "
            "bitstreams)\n",
            f"Setting: synthetic corpus (no Vimeo/UVG in-container), "
            f"{args.clips} held-out clips, GOP {args.gop}, 256x256, "
            "frame 0 = given I-frame. Every bpp_act is counted from the "
            "actual byte strings produced by the C++ rANS coder and the "
            "decoder output is the bitstream reconstruction.\n",
-           fmt_curve("LSVC (4-level ladder, lambda 256..2048)",
+           fmt_curve(f"LSVC (ladder levels {args.lsvc_levels}, lambda "
+                     f"{[PSNR_LAMBDAS[l] for l in args.lsvc_levels]})",
                      *results["LSVC"]) + "\n",
-           fmt_curve("DVC (4-level ladder, lambda 256..2048)",
+           fmt_curve(f"DVC (ladder levels {args.dvc_levels}, lambda "
+                     f"{[PSNR_LAMBDAS[l] for l in args.dvc_levels]})",
                      *results["DVC"]) + "\n",
            "### MJPEG-class intra anchor (same clips)\n",
            "| quality | bpp (real) | PSNR |", "|---|---|---|"]
-    for q, b, p in zip([QUALITY_LADDER[i] for i in (0, 2, 4, 6)],
-                       mj_bpp, mj_psnr):
+    for q, b, p in zip(mj_q, mj_bpp, mj_psnr):
         doc.append(f"| {q} | {b:.4f} | {p:.2f} |")
     doc += ["\n### Bjontegaard deltas\n",
             f"- BD-rate(LSVC vs DVC): **{bd_lsvc_vs_dvc:+.1f}%** "
@@ -155,21 +182,24 @@ def main():
             f"{est_act(results['LSVC'][0]):.2%}, DVC "
             f"{est_act(results['DVC'][0]):.2%}"]
     if m_rows:
-        r = m_rows[0]
-        # msssim_db is only emitted when finite values exist (ADVICE r03 #2)
-        mss = r.get("msssim_db", float("nan"))
-        doc += ["\n### MS-SSIM-trained operating point (loss_type M, "
-                "lambda ladder [8,16,32,64] level 1; models.py:72-76)\n",
-                f"DVC-M l1: bpp_act {r['bpp_act']:.4f}, MS-SSIM "
-                f"{mss:.2f} dB, PSNR {r['psnr']:.2f} dB "
-                "(real-bits end-to-end through the same rANS path)"]
+        doc += ["\n### MS-SSIM-trained ladder (loss_type M, lambda "
+                f"{[MSSSIM_LAMBDAS[l] for l in args.m_levels]}; "
+                "models.py:72-76)\n",
+                "| level | lambda_M | bpp (real) | MS-SSIM dB | PSNR |",
+                "|---|---|---|---|---|"]
+        for r in m_rows:
+            mss = r.get("msssim_db", float("nan"))
+            doc.append(f"| {r['level']} | {MSSSIM_LAMBDAS[r['level']]} | "
+                       f"{r['bpp_act']:.4f} | {mss:.2f} | {r['psnr']:.2f} |")
 
     # error propagation: per-frame PSNR across the GOP (plot_hermes.py:814-831)
     doc += ["\n### Error propagation: per-frame PSNR across the GOP "
             "(plot_hermes.py:814-831)\n",
             "DVC predicts each frame from the previous reconstruction, so "
             "errors compound along the chain; LSVC's tree bounds the "
-            "reference depth at O(log GOP).\n"]
+            "reference depth at O(log GOP). Gate: drift <= "
+            f"{DRIFT_GATE_DB:.0f} dB over the GOP.\n"]
+    drift = {}
     for name in ("LSVC", "DVC"):
         rows = results[name][0]
         per = [r["psnr_per_frame"] for r in rows if r.get("psnr_per_frame")]
@@ -177,9 +207,11 @@ def main():
             continue
         n = min(len(p) for p in per)
         mean = np.mean([p[:n] for p in per], axis=0)
+        drift[name] = float(mean[0] - mean[-1])
+        gate = "PASS" if drift[name] <= DRIFT_GATE_DB else "FAIL"
         doc += [f"{name} (mean over levels): " +
                 " ".join(f"{v:.2f}" for v in mean) +
-                f"  (frame1 - frameN = {mean[0] - mean[-1]:+.2f} dB)"]
+                f"  (frame1 - frameN = {drift[name]:+.2f} dB -> {gate})"]
     # bit allocation: motion vs residual split (plot_hermes.py:708-719)
     doc += ["\n### Bit allocation: motion vs residual share "
             "(plot_hermes.py:708-719)\n",
@@ -194,15 +226,32 @@ def main():
     if ablation:
         doc += ["\n### LSVC tree ablation (shared trained weights; "
                 "plot_hermes.py:570-609)\n",
-                "| variant | level | bpp | PSNR | fps |", "|---|---|---|---|---|"]
+                "| variant | level | bpp | PSNR | fps |",
+                "|---|---|---|---|---|"]
         for r in ablation:
             doc.append(f"| {r['variant']} | {r['level']} | {r['bpp']:.3f} | "
                        f"{r['psnr']:.2f} | {r['fps']:.1f} |")
+
+    # multiview story: trained finetune + benchmark + OLFT records
+    # (reference train_multiview.py:487-497, 570-604)
+    mv_sections = []
+    for tag, title in (("finetune.office", "multiview fine-tune (office)"),
+                       ("benchmark.office", "benchmark from trained ckpt"),
+                       ("office.l2", "OLFT bandwidth accounting")):
+        recs = read_jsonl(f"logs/MCVC-IA-OLFT.{tag}.log")
+        if recs:
+            mv_sections.append(f"- {title}: `{json.dumps(recs[-1])}`")
+    if mv_sections:
+        doc += ["\n### MCVC-IA multiview (train_multiview.py:487-604)\n",
+                *mv_sections]
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         f.write("\n".join(doc) + "\n")
     print(json.dumps({
         "bd_rate_lsvc_vs_dvc_pct": round(bd_lsvc_vs_dvc, 2),
         "bd_psnr_lsvc_vs_dvc_db": round(bdp_lsvc_vs_dvc, 3),
+        "drift_db": {k: round(v, 2) for k, v in drift.items()},
         "lsvc": lsvc_c, "dvc": dvc_c, "out": args.out}))
 
 

@@ -207,7 +207,8 @@ def main():
                       step_offset=step_offset, init_params=init_stacked,
                       log_every=args.log_every)
         if iterpred:
-            _ladder.train_ladder_iterpred(model, ds, **common)
+            _ladder.train_ladder_iterpred(model, ds,
+                                          loss_type=args.loss_type, **common)
         elif elfvc:
             _ladder.train_ladder_elfvc(model, ds, alpha=args.alpha, **common)
         elif ssf:

@@ -98,6 +98,20 @@ def build(args, category, num_views=None):
     return model, cfg, ds
 
 
+def graft_ckpt(ckpt, variables):
+    """Graft a (possibly structurally different) checkpoint onto `variables`:
+    matching leaves copy over, and donor img/res decoders mirror into the
+    backup_* decoders (reference load_state_dict_with_copy,
+    models.py:442-448 — the OLFT seed from the single-view pretrain)."""
+    from fvc.train.checkpoint import (latest_checkpoint, load_with_copy,
+                                      restore_raw)
+    path = latest_checkpoint(ckpt) or ckpt
+    src = restore_raw(path)
+    src = src.get("params", src) if isinstance(src, dict) else src
+    print(f"grafted checkpoint {path}", flush=True)
+    return load_with_copy(variables, src)
+
+
 def run_olft(args, category, tag, **ds_overrides):
     """probe -> set sampling interval -> OLFT -> probe again -> log."""
     import jax
@@ -110,6 +124,8 @@ def run_olft(args, category, tag, **ds_overrides):
     variables = model.init(
         jax.random.PRNGKey(args.seed), np_first(ds), ones_mask(ds),
         training=True, rng=jax.random.PRNGKey(args.seed + 1))
+    if args.ckpt:
+        variables = graft_ckpt(args.ckpt, variables)
     r0 = measure_touchup_ratio(model, variables, cfg, ds)
     si = probe_sample_interval(r0, args.bw_limit)
     ds.sample_interval = si
@@ -147,6 +163,11 @@ def main():
     ap = argparse.ArgumentParser()
     mode = ap.add_mutually_exclusive_group(required=True)
     mode.add_argument("--pretrain", action="store_true")
+    mode.add_argument("--finetune", action="store_true",
+                      help="full-model multiview RD fine-tune on one "
+                           "category, warm-started from --ckpt (the "
+                           "reference's per-scene recipe after the "
+                           "single-view pretrain, train_multiview.py:487-533)")
     mode.add_argument("--olft", action="store_true")
     mode.add_argument("--benchmark", action="store_true")
     mode.add_argument("--speed-test", action="store_true")
@@ -168,6 +189,8 @@ def main():
                     help="touch-up bandwidth budget as a stream fraction")
     ap.add_argument("--logdir", default="logs")
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--out-ckpt", default=None,
+                    help="checkpoint dir for --finetune output")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (leave the TPU to training)")
     args = ap.parse_args()
@@ -213,6 +236,31 @@ def main():
                           "loss_first": history[0], "loss_last": history[-1]}))
         return
 
+    if args.finetune:
+        from fvc.train.loop import pretrain_multiview
+        from fvc.train.checkpoint import save_checkpoint
+
+        for cat in cats:
+            model, cfg, ds = build(args, cat)
+            variables = model.init(
+                jax.random.PRNGKey(args.seed), np_first(ds), ones_mask(ds),
+                training=True, rng=jax.random.PRNGKey(args.seed + 1))
+            if args.ckpt:
+                variables = graft_ckpt(args.ckpt, variables)
+            variables, history = pretrain_multiview(
+                model, cfg, ds, steps=args.steps, learning_rate=args.lr,
+                seed=args.seed, init_params=variables)
+            if args.out_ckpt:
+                save_checkpoint(args.out_ckpt, args.steps,
+                                {"params": variables}, best=True)
+            rec = {"mode": "finetune", "category": cat, "views": ds.views,
+                   "level": args.level, "steps_run": len(history),
+                   "loss_first": history[0] if history else None,
+                   "loss_last": history[-1] if history else None}
+            log_append(args.logdir, f"finetune.{cat}", rec)
+            print(json.dumps(rec))
+        return
+
     if args.olft:
         for cat in cats:
             run_olft(args, cat, tag=f"{cat}.l{args.level}")
@@ -227,6 +275,16 @@ def main():
             variables = model.init(
                 jax.random.PRNGKey(args.seed), np_first(ds), ones_mask(ds),
                 training=False)
+            if args.ckpt:
+                # The reference's benchmark mode scores the TRAINED model
+                # (train_multiview.py:487-497 loads the checkpoint); scoring
+                # a random init produces garbage RD rows.
+                from fvc.train.checkpoint import (latest_checkpoint,
+                                                  restore_checkpoint)
+                path = latest_checkpoint(args.ckpt) or args.ckpt
+                variables = restore_checkpoint(
+                    path, {"params": variables})["params"]
+                print(f"benchmark: restored {path}", flush=True)
             ms = []
             for i in range(min(len(ds), 4)):
                 frames = jnp.asarray(ds[i])

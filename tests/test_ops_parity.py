@@ -177,6 +177,34 @@ def test_ms_ssim_close_to_one_for_identical():
     assert val[0] > 0.9999
 
 
+def test_ms_ssim_np_matches_jax_and_tames_saturation():
+    """The host-f64 eval path (fvc.ops.ms_ssim.ms_ssim_np) must agree with
+    the on-device f32 metric away from saturation, and must stay finite and
+    monotone-capped where f32 collapses into rounding noise (VERDICT r03
+    weak #5: adjacent rate points reported 75.9/40.2/76.9 dB)."""
+    from fvc.ops.ms_ssim import ms_ssim, ms_ssim_db_np, ms_ssim_np
+
+    x = _rand((2, 192, 192, 3), 11)
+    y = np.clip(x + 0.03 * (_rand((2, 192, 192, 3), 12) - 0.5), 0, 1
+                ).astype(np.float32)
+    ours32 = np.asarray(ms_ssim(jnp.asarray(x), jnp.asarray(y)))
+    ours64 = ms_ssim_np(x, y)
+    np.testing.assert_allclose(ours64, ours32, atol=2e-5)
+
+    # saturation: identical inputs -> exactly the 100 dB cap, no noise
+    db = ms_ssim_db_np(x, x)
+    assert np.all(np.isfinite(db))
+    np.testing.assert_allclose(db, 100.0, atol=1e-6)
+
+    # near-saturation: a tiny perturbation must give a finite, reproducible
+    # value strictly below the cap
+    y2 = np.clip(x + 1e-4 * (_rand((2, 192, 192, 3), 13) - 0.5), 0, 1
+                 ).astype(np.float64)
+    db2 = ms_ssim_db_np(x, y2)
+    assert np.all(np.isfinite(db2)) and np.all(db2 < 100.0)
+    np.testing.assert_allclose(db2, ms_ssim_db_np(x, y2), rtol=0)
+
+
 def test_ms_ssim_matches_pytorch_msssim_if_available():
     try:
         from pytorch_msssim import ms_ssim as t_msssim
