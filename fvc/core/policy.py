@@ -59,6 +59,28 @@ def pallas_gdn():
         _PALLAS_GDN.reset(token)
 
 
+_PALLAS_SPYNET: contextvars.ContextVar = contextvars.ContextVar(
+    "fvc_pallas_spynet", default=False)
+
+
+def pallas_spynet_enabled() -> bool:
+    import os
+
+    return _PALLAS_SPYNET.get() or os.environ.get("FVC_PALLAS_SPYNET") == "1"
+
+
+@contextlib.contextmanager
+def pallas_spynet():
+    """Route every SpyNet MEBasic level through the fused VMEM-resident
+    Pallas kernel (fvc.ops.pallas_spynet.fused_mebasic_tiles) — exact vs
+    the XLA path incl. borders; inference fast path, TPU only."""
+    token = _PALLAS_SPYNET.set(True)
+    try:
+        yield
+    finally:
+        _PALLAS_SPYNET.reset(token)
+
+
 _SSF_PYRAMID: contextvars.ContextVar = contextvars.ContextVar(
     "fvc_ssf_pyramid", default=False)
 

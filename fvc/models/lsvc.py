@@ -193,10 +193,14 @@ class LSVC(nn.Module):
         estmv = self.optic_flow(target, refs)
         mv_hat, bits_mv = self._mv_codec(estmv, training=training, rng=r_mv)
 
-        # layer-by-layer tree reconstruction
-        com = jnp.zeros_like(target)
-        mc_all = jnp.zeros_like(target)
-        warped_all = jnp.zeros_like(target)
+        # layer-by-layer tree reconstruction. The graph is a compile-time
+        # constant, so per-frame reconstructions live in a Python list and
+        # stack ONCE at the end — a `.at[idx].set` scatter per layer lowers
+        # to TPU scatter ops (serialized per index) and was a measurable
+        # slice of the program's data-formatting time.
+        com_f = [None] * bs
+        mc_f = [None] * bs
+        warped_f = [None] * bs
         bits_res = 0.0
         res_rngs = (jax.random.split(r_res, len(layers))
                     if r_res is not None else [None] * len(layers))
@@ -205,7 +209,7 @@ class LSVC(nn.Module):
             par = [parents[t] for t in layer]
             # parent 0 = I-frame x[0]; else previous-layer reconstruction
             ref_stack = jnp.stack([
-                x[0] if p == 0 else com[p - 1] for p in par], axis=0)
+                x[0] if p == 0 else com_f[p - 1] for p in par], axis=0)
             if cfg.detach_tree_refs:
                 ref_stack = jax.lax.stop_gradient(ref_stack)
             mv_l = mv_hat[idx]
@@ -216,10 +220,16 @@ class LSVC(nn.Module):
             res = tgt_l - mc
             res_hat, bits_l = self._res_codec(res, training=training, rng=res_rngs[li])
             com_l = jnp.clip(res_hat + mc, 0.0, 1.0)
-            com = com.at[idx].set(com_l)
-            mc_all = mc_all.at[idx].set(mc)
-            warped_all = warped_all.at[idx].set(warped)
+            for i, t in enumerate(layer):
+                com_f[t - 1] = com_l[i]
+                mc_f[t - 1] = mc[i]
+                warped_f[t - 1] = warped[i]
             bits_res = bits_res + bits_l
+        # match the pre-rewrite scatter semantics: updates were upcast into
+        # an f32 buffer, so metrics/losses stay f32 under the bf16 policy
+        com = jnp.stack(com_f).astype(target.dtype)
+        mc_all = jnp.stack(mc_f).astype(target.dtype)
+        warped_all = jnp.stack(warped_f).astype(target.dtype)
 
         denom = float(bs * H * W)
         out = {
@@ -258,13 +268,14 @@ class LSVC(nn.Module):
         mv_q = jnp.round(self.mv_encoder(estmv))
         mv_hat = self.mv_decoder(mv_q)
 
-        com = jnp.zeros_like(target)
+        com_f = [None] * bs
         z_list = [None] * bs
         feat_list = [None] * bs
         for layer in layers:
             idx = jnp.asarray([t - 1 for t in layer])
             ref_stack = jnp.stack(
-                [x[0] if parents[t] == 0 else com[parents[t] - 1] for t in layer])
+                [x[0] if parents[t] == 0 else com_f[parents[t] - 1]
+                 for t in layer])
             warped = flow_warp(ref_stack, mv_hat[idx])
             mc = self.warpnet(jnp.concatenate(
                 [warped, ref_stack.astype(warped.dtype)], axis=-1)) + warped
@@ -274,12 +285,13 @@ class LSVC(nn.Module):
             feat_q = jnp.round(feat)
             res_hat = self.res_decoder(feat_q)
             com_l = jnp.clip(res_hat + mc, 0.0, 1.0)
-            com = com.at[idx].set(com_l)
             for i, t in enumerate(layer):
+                com_f[t - 1] = com_l[i]
                 z_list[t - 1] = z_q[i]
                 feat_list[t - 1] = feat_q[i]
         return {"mv_q": mv_q, "z_q": jnp.stack(z_list),
-                "feat_q": jnp.stack(feat_list), "recon": com}
+                "feat_q": jnp.stack(feat_list),
+                "recon": jnp.stack(com_f).astype(x.dtype)}
 
     def sigma_of_z(self, z_q):
         return self.prior_decoder(z_q)
@@ -292,18 +304,20 @@ class LSVC(nn.Module):
             bs, linear=cfg.linear_chain, onehop=cfg.one_hop)
         layers = pruned_layers(layers, bs)
         mv_hat = self.mv_decoder(mv_q)
-        B, H, W = bs, x0.shape[0], x0.shape[1]
-        com = jnp.zeros((B, H, W, 3), x0.dtype)
+        com_f = [None] * bs
         for layer in layers:
             idx = jnp.asarray([t - 1 for t in layer])
             ref_stack = jnp.stack(
-                [x0 if parents[t] == 0 else com[parents[t] - 1] for t in layer])
+                [x0 if parents[t] == 0 else com_f[parents[t] - 1]
+                 for t in layer])
             warped = flow_warp(ref_stack, mv_hat[idx])
             mc = self.warpnet(jnp.concatenate(
                 [warped, ref_stack.astype(warped.dtype)], axis=-1)) + warped
             res_hat = self.res_decoder(feat_q[idx])
-            com = com.at[idx].set(jnp.clip(res_hat + mc, 0.0, 1.0))
-        return com
+            com_l = jnp.clip(res_hat + mc, 0.0, 1.0)
+            for i, t in enumerate(layer):
+                com_f[t - 1] = com_l[i]
+        return jnp.stack(com_f).astype(x0.dtype)
 
     def mv_cdf(self, x):
         return self.bit_estimator_mv(x)

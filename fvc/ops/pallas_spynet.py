@@ -95,6 +95,90 @@ def _mebasic_kernel(x_hbm, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, o_ref,
     )
 
 
+def fused_mebasic_tiles(x, params, *, block_rows: int = 16):
+    """Variant of `fused_mebasic` with XLA-side materialized overlapping row
+    tiles and affine BlockSpecs only — no manual DMA, no dynamic memref
+    slicing (the `.at[b, pl.ds(...)]` HBM slice in `fused_mebasic` hits a
+    Mosaic memref_slice lowering bug with dynamic offsets on this
+    container's toolchain).
+
+    The overlap costs (block_rows + 2*HALO)/block_rows extra HBM traffic on
+    the 8-channel INPUT only (~2.9x at block_rows=16); every intermediate
+    (32/64-channel) still stays in VMEM, which is where the XLA path pays
+    5 full-res HBM round trips. x: [B, H, W, 8] -> [B, H, W, 2].
+
+    EXACT vs the XLA path everywhere, including borders: XLA's SAME convs
+    zero-pad every LAYER's input, so after each in-kernel conv the halo
+    positions that fall outside the image are masked back to zero before
+    the next layer consumes them (without this, halo intermediates hold
+    relu(bias)-contaminated values and the outer 15 px of flow deltas
+    diverge — the round-3 kernel had exactly that caveat)."""
+    B, H, W, C = x.shape
+    assert C == CHANNELS[0], x.shape
+    n_blocks = -(-H // block_rows)
+    pad_h = n_blocks * block_rows - H
+    rows_in = block_rows + 2 * HALO
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO + pad_h), (HALO, HALO), (0, 0)))
+    xp = xp.astype(jnp.float32)
+    # [B, n_blocks, rows_in, W+2*HALO, 8] — static strided row windows
+    tiles = jnp.stack(
+        [jax.lax.slice_in_dim(xp, i * block_rows, i * block_rows + rows_in,
+                              axis=1) for i in range(n_blocks)], axis=1)
+
+    ws = []
+    in_specs = [pl.BlockSpec((1, 1, rows_in, W + 2 * HALO, CHANNELS[0]),
+                             lambda b, i: (b, i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    for i in range(LAYERS):
+        cin, cout = CHANNELS[i], CHANNELS[i + 1]
+        ws.append(params[f"Conv_{i}"]["kernel"].astype(jnp.float32))
+        ws.append(params[f"Conv_{i}"]["bias"].astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((K, K, cin, cout),
+                                     lambda b, i: (0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((cout,), lambda b, i: (0,),
+                                     memory_space=pltpu.VMEM))
+
+    def kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5, o_ref):
+        i = pl.program_id(1)
+
+        def mask_outside(h, layer):
+            # zero positions outside the image so the next conv sees the
+            # zeros XLA's per-layer SAME padding would have given it
+            rows, cols = h.shape[0], h.shape[1]
+            g_row0 = i * block_rows - HALO + layer * PAD
+            r = g_row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+            c = (-HALO + layer * PAD
+                 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1))
+            ok = ((r >= 0) & (r < H) & (c >= 0) & (c < W))
+            return h * ok[..., None].astype(h.dtype)
+
+        x_t = x_ref[0, 0]
+        h = _conv7_rows(x_t, w1[:], rows_in - 2 * PAD,
+                        W + 2 * HALO - 2 * PAD)
+        h = mask_outside(jax.nn.relu(h + b1[:]), 1)
+        h = _conv7_rows(h, w2[:], rows_in - 4 * PAD, W + 2 * HALO - 4 * PAD)
+        h = mask_outside(jax.nn.relu(h + b2[:]), 2)
+        h = _conv7_rows(h, w3[:], rows_in - 6 * PAD, W + 2 * HALO - 6 * PAD)
+        h = mask_outside(jax.nn.relu(h + b3[:]), 3)
+        h = _conv7_rows(h, w4[:], rows_in - 8 * PAD, W + 2 * HALO - 8 * PAD)
+        h = mask_outside(jax.nn.relu(h + b4[:]), 4)
+        h = _conv7_rows(h, w5[:], block_rows, W)
+        o_ref[0] = h + b5[:]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_rows, W, CHANNELS[-1]),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_blocks * block_rows, W, CHANNELS[-1]), jnp.float32),
+    )(tiles, *ws)
+    return out[:, :H]
+
+
 def fused_mebasic(x, params, *, block_rows: int = 16):
     """x: [B, H, W, 8]; params: MEBasic param pytree
     ({'Conv_0': {'kernel','bias'}, ...}). Returns [B, H, W, 2].

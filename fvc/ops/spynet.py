@@ -90,6 +90,9 @@ class SpyNet(nn.Module):
             pyr1.append(avg_pool2(pyr1[-1]))
             pyr2.append(avg_pool2(pyr2[-1]))
 
+        from fvc.core.policy import pallas_spynet_enabled
+
+        use_pallas = pallas_spynet_enabled() and not self.is_initializing()
         b = im1.shape[0]
         h, w = pyr1[-1].shape[1] // 2, pyr1[-1].shape[2] // 2
         flow = jnp.zeros((b, h, w, 2), jnp.float32)
@@ -100,7 +103,15 @@ class SpyNet(nn.Module):
             inp = jnp.concatenate(
                 [ref, flow_warp(tgt, flow_up), flow_up.astype(ref.dtype)],
                 axis=-1)
-            flow = flow_up + MEBasic(name=f"level{lvl}")(inp).astype(jnp.float32)
+            if use_pallas:
+                # fused VMEM-resident 5-conv kernel (exact, incl. borders)
+                from fvc.ops.pallas_spynet import fused_mebasic_tiles
+
+                delta = fused_mebasic_tiles(
+                    inp, self.variables["params"][f"level{lvl}"])
+            else:
+                delta = MEBasic(name=f"level{lvl}")(inp)
+            flow = flow_up + delta.astype(jnp.float32)
         return flow
 
 

@@ -76,10 +76,14 @@ def error_propagation(args):
         pf = r["psnr_per_frame"]
         table.append([r["codec"], r["level"], f"{r['bpp_est']:.3f}"]
                      + [f"{v:.2f}" for v in pf] + [""] * (n - len(pf)))
-        # drift: last-frame PSNR minus first P-frame PSNR (negative = decay)
+        # drift: last-frame PSNR minus first P-frame PSNR (negative = decay);
+        # gate: |drift| <= 2 dB over the GOP (the reference stays within
+        # ~1 dB over GOP-13, plot_hermes.py:814-831 — VERDICT r03 #9)
+        drift = round(pf[-1] - pf[0], 3)
         out_rows.append({"codec": r["codec"], "level": r["level"],
                          "bpp": r["bpp_est"], "psnr_per_frame": pf,
-                         "drift_db": round(pf[-1] - pf[0], 3)})
+                         "drift_db": drift,
+                         "drift_gate": "PASS" if drift >= -2.0 else "FAIL"})
     print(_fmt_table(header, table), file=sys.stderr)
     print(json.dumps({"error_propagation": out_rows}))
 

@@ -25,7 +25,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def chain_time(fn, x0, iters):
+def chain_time(fn, x0, iters, label=None):
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +41,23 @@ def chain_time(fn, x0, iters):
         out = run(x0)
         _ = float(jnp.ravel(out)[0])
         ts.append(time.perf_counter() - t0)
-    return min(ts) / iters
+    t = min(ts) / iters
+    if label:  # roofline diagnostics: where does the program sit vs the
+        # v5e walls (197 TFLOP/s bf16, 819 GB/s HBM)?
+        try:
+            ca = run.lower(x0).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fl = float(ca.get("flops", 0.0)) / iters
+            by = float(ca.get("bytes accessed", 0.0)) / iters
+            print(f"# {label}: {fl / 1e9:.0f} GFLOP/frame, "
+                  f"{by / 1e9:.2f} GB/frame, hbm_wall_fps={819e9 / by:.1f}, "
+                  f"hbm_frac={(by / 819e9) / t:.2f}, "
+                  f"mfu={(fl / t) / 197e12:.3f}", file=sys.stderr)
+        except Exception as e:
+            print(f"# {label}: cost_analysis unavailable ({e})",
+                  file=sys.stderr)
+    return t
 
 
 def main():
@@ -85,7 +101,7 @@ def main():
         with bf16_compute():
             x_rec, _ = model.apply(v, c, x_ref, training=False)
         return x_rec
-    t = chain_time(ssf_fwd, x_cur, args.iters)
+    t = chain_time(ssf_fwd, x_cur, args.iters, label="ssf")
     results.append({"metric": f"ssf_{H}x{W}_pframe_encdec_fps_per_chip",
                     "value": round(1.0 / t, 2), "unit": "frames/s",
                     "vs_baseline": round(1.0 / t / 172.0, 3)})
@@ -98,7 +114,7 @@ def main():
         with bf16_compute(), ssf_pyramid():
             x_rec, _ = model.apply(v, c, x_ref, training=False)
         return x_rec
-    t = chain_time(ssf_fwd_pyr, x_cur, args.iters)
+    t = chain_time(ssf_fwd_pyr, x_cur, args.iters, label="ssf_pyr")
     results.append({"metric": f"ssf_pyr_{H}x{W}_pframe_encdec_fps_per_chip",
                     "value": round(1.0 / t, 2), "unit": "frames/s",
                     "vs_baseline": round(1.0 / t / 172.0, 3)})
@@ -116,7 +132,7 @@ def main():
         with bf16_compute():
             x_rec, _, _ = model.apply(v, c, x_ref, state, training=False)
         return x_rec
-    t = chain_time(elfvc_fwd, x_cur, args.iters)
+    t = chain_time(elfvc_fwd, x_cur, args.iters, label="elfvc_sp")
     results.append({"metric": f"elfvc_sp_{H}x{W}_pframe_encdec_fps_per_chip",
                     "value": round(1.0 / t, 2), "unit": "frames/s",
                     "vs_baseline": round(1.0 / t / 77.0, 3)})
@@ -129,7 +145,7 @@ def main():
         with bf16_compute(), ssf_pyramid():
             x_rec, _, _ = model_hr.apply(v, c, x_ref, state, training=False)
         return x_rec
-    t = chain_time(elfvc_hr_fwd, x_cur, args.iters)
+    t = chain_time(elfvc_hr_fwd, x_cur, args.iters, label="elfvc_sp_hr_pyr")
     results.append(
         {"metric": f"elfvc_sp_hr_pyr_{H}x{W}_pframe_encdec_fps_per_chip",
          "value": round(1.0 / t, 2), "unit": "frames/s",

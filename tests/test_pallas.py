@@ -72,6 +72,31 @@ def test_fused_mebasic_matches_xla_interior():
     assert err[:, 15:-15, 15:-15].max() < 1e-5
 
 
+def test_fused_mebasic_tiles_exact_everywhere():
+    """The affine-BlockSpec variant (materialized overlapping tiles — the
+    one that LOWERS on this container's Mosaic, unlike the manual-DMA
+    kernel) masks halo intermediates to zero outside the image, so it is
+    exact vs the XLA path INCLUDING borders."""
+    import flax
+    from jax.experimental.pallas import tpu as pltpu
+    from fvc.ops.spynet import MEBasic
+    from fvc.ops.pallas_spynet import fused_mebasic_tiles
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 40, 48, 8).astype(np.float32))
+    m = MEBasic()
+    variables = m.init(jax.random.PRNGKey(0), x)
+    p = flax.core.unfreeze(variables)["params"]
+    for name in p:  # randomize every layer incl. the zero-init head
+        p[name]["kernel"] = jnp.asarray(
+            rng.randn(*p[name]["kernel"].shape).astype(np.float32) * 0.05)
+    ref = m.apply({"params": p}, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_mebasic_tiles(x, p, block_rows=16)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_conv3x3_pallas_matches_xla():
     """Direct 3x3 stride-1 conv kernel (fvc.ops.pallas_conv): 9 shifted MXU
     matmuls over DMA'd halo slabs must match the XLA conv, including the
