@@ -153,7 +153,10 @@ def init_family_variables(codec_name: str, model, gop0, *, num_views: int = 1,
         mask = jnp.ones((num_views,), jnp.float32)
         return model.init(key, jnp.tile(frames, (1, num_views, 1, 1, 1)),
                           mask, training=False)
-    if codec_name.startswith("Base"):
+    if codec_name.startswith("Base") or codec_name == "DVC-pretrained":
+        # DVC-pretrained = the original-DVC topology (net.py:38), served by
+        # BaseCodec (fvc.models.registry) with .model interop
+        # (fvc.models.torch_interop)
         return model.init(key, x[1][None], x[0][None], training=False)
     raise ValueError(codec_name)
 
@@ -297,7 +300,7 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
             results.append(r)
         return results
 
-    if name.startswith("Base"):
+    if name.startswith("Base") or name == "DVC-pretrained":
         # Base/-EC/-ER (models.py:1550): I-frame passthrough reference,
         # sequential P-frames; out dict carries bpp_est/psnr directly.
         if real_bits:

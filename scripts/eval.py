@@ -34,6 +34,11 @@ def main():
                          "e.g. ckpts/lsvc_l{level} (reference LoadModel "
                          "filename waterfall, eval.py:37-88)")
     ap.add_argument("--log", default=None)
+    ap.add_argument("--torch-model", default=None, metavar="FILE",
+                    help="reference DVC .model checkpoint "
+                         "(torch.save(state_dict), net.py:19) to load into "
+                         "the DVC-pretrained architecture "
+                         "(fvc.models.torch_interop)")
     ap.add_argument("--real-bits", action="store_true")
     ap.add_argument("--evolve", type=int, default=0, metavar="STEPS",
                     help="per-video online adaptation before coding "
@@ -121,6 +126,10 @@ def main():
                                      **extra)
 
         variables = init_family_variables(args.codec, model, gops[0])
+        if args.torch_model:
+            from fvc.models.torch_interop import load_dvc_model
+            variables = load_dvc_model(variables, args.torch_model)
+            print(f"# loaded torch .model {args.torch_model}", file=sys.stderr)
         if ckpt_dir:
             from fvc.train.checkpoint import (latest_checkpoint,
                                               restore_checkpoint)
