@@ -215,9 +215,13 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
             from fvc.ops.ms_ssim import ms_ssim
 
             H, W, C = recons.shape[-3:]
-            dist = jnp.mean(1.0 - ms_ssim(
+            # clamp at 0: f32 cancellation in the windowed variances lets
+            # ms_ssim overshoot 1.0 by ~1e-3 at saturation, which would
+            # make the distortion (and with small bpp the whole loss)
+            # negative; the gradient there is noise anyway
+            dist = jnp.maximum(jnp.mean(1.0 - ms_ssim(
                 recons.reshape(-1, H, W, C).astype(jnp.float32),
-                frames[1:].reshape(-1, H, W, C).astype(jnp.float32)))
+                frames[1:].reshape(-1, H, W, C).astype(jnp.float32))), 0.0)
         else:
             dist = jnp.mean(outs["img_loss"])
         return lam * dist + jnp.mean(outs["bpp_est"]), outs

@@ -19,4 +19,7 @@ FVC_SPYNET_S2D=4 run python bench.py --fast --iters 4
 #    reference setting is bench_family's default workload)
 run python scripts/bench_family.py --iters 3
 
+# 4. per-stage device time at the headline resolution (meter taxonomy)
+run python scripts/profile_stages.py --gop 6 --height 640 --width 960 --iters 3
+
 echo "=== $(date +%H:%M:%S) perf window done" >> "$L"
