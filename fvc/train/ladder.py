@@ -54,7 +54,7 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
                  steps, gop, learning_rate, seed, log_every, ckpt_root,
                  ckpt_every, step_offset, batched_gop: bool,
                  log_keys=("loss", "psnr", "bpp_est"),
-                 spike_factor: float = 10.0):
+                 spike_factor: float = 10.0, clip_norm=None):
     """Shared ladder driver. loss_fn(params, lam, frames, key) ->
     (scalar, metrics). `batched_gop`: frames per level are [1,T,H,W,3]
     (whole-GOP models) vs [T,1,H,W,3] (sequential scan models).
@@ -70,7 +70,7 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
     params+opt does not fit next to the training step's activations on a
     shared chip (measured: RESOURCE_EXHAUSTED on resume)."""
     L = len(levels)
-    optimizer = make_optimizer(learning_rate, clip_norm=None)
+    optimizer = make_optimizer(learning_rate, clip_norm=clip_norm)
     opt_state = jax.vmap(optimizer.init)(variables)
 
     def step_one(params, opt_state, lam, frames, key):
@@ -182,7 +182,7 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
                           ckpt_root: Optional[str] = None,
                           ckpt_every: int = 5000, step_offset: int = 0,
                           init_params=None, spike_factor: float = 10.0,
-                          loss_type: str = "P"):
+                          loss_type: str = "P", clip_norm=None):
     """DVC/RLVC ladder (scan engine, reference loss train.py:185-207).
 
     loss_type 'M' trains the MS-SSIM operating points: distortion is
@@ -230,7 +230,8 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
                         steps=steps, gop=gop, learning_rate=learning_rate,
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
-                        batched_gop=False, spike_factor=spike_factor)
+                        batched_gop=False, spike_factor=spike_factor,
+                        clip_norm=clip_norm)
 
 
 def train_ladder_gop(model, cfg: CodecConfig, dataset, *,

@@ -67,6 +67,12 @@ def main():
                          "{--ckpt}_l{level}). One jit program advances the "
                          "whole RD ladder — see fvc.train.ladder")
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--clip-norm", type=float, default=None,
+                    help="global-norm gradient clip for ladder training "
+                         "(OFF by default — see fvc.train.step.make_optimizer; "
+                         "needed when fine-tuning onto a NEW loss surface, "
+                         "e.g. the MS-SSIM ladder from a PSNR parent, where "
+                         "the first unclipped Adam steps explode the model)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon site hook routes to "
                          "the TPU tunnel by default)")
@@ -208,7 +214,8 @@ def main():
                       log_every=args.log_every)
         if iterpred:
             _ladder.train_ladder_iterpred(model, ds,
-                                          loss_type=args.loss_type, **common)
+                                          loss_type=args.loss_type,
+                                          clip_norm=args.clip_norm, **common)
         elif elfvc:
             _ladder.train_ladder_elfvc(model, ds, alpha=args.alpha, **common)
         elif ssf:
