@@ -81,21 +81,24 @@ while time_left; do
   commit_weights "trained: LSVC REC r4 chunk $i"
   pause_gate; time_left || break
   case $i in
-    1|3|5|7|9)
-      run python scripts/train.py --codec DVC --ladder 0,2,4,6 --steps 700 \
-          --gop 4 --crop 256 \
-          --ckpt trained/dvc_ladder --ckpt-every 350 --log-every 50 \
+    1|4|6|8)
+      # gop 7: error-propagation training — the GOP-8 eval drift gate
+      # (plot_hermes.py:814-831, VERDICT r03 #9) needs the scan to expose
+      # degraded references as deep as eval reads them
+      run python scripts/train.py --codec DVC --ladder 0,2,4,6 --steps 400 \
+          --gop 7 --crop 256 \
+          --ckpt trained/dvc_ladder --ckpt-every 200 --log-every 50 \
           --lr 1e-4 --lr-final 1e-5 --lr-decay-steps 9000
-      commit_weights "trained: DVC wide ladder r4 chunk $i"
+      commit_weights "trained: DVC wide ladder r4 chunk $i (gop7)"
       ;;
-    2|4|6)
+    2|5|7)
       run python scripts/train.py --codec DVC --ladder 0,1,2,3 --loss-type M \
           --steps 500 --gop 4 --crop 256 --clip-norm 1.0 \
           --ckpt trained/dvc_m --ckpt-every 250 --log-every 50 \
           --lr 1e-5 --lr-final 1e-6 --lr-decay-steps 6000
       commit_weights "trained: DVC-M ladder r4 chunk $i"
       ;;
-    8)
+    3)
       run python scripts/train_multiview.py --finetune --category office \
           --steps 600 --size 128 --gop 4 --lr 1e-4 \
           --ckpt pretrained_mcvc_ia_pt --out-ckpt trained/mcvc_ia_office
