@@ -20,13 +20,9 @@ if [ -d trained/mcvc_ia_office ]; then
 fi
 
 # 2. the RD deliverable (real rANS bitstreams, BD-rates, drift gates)
-run python scripts/round4_results.py --gop 8 --clips 3
+run python scripts/round4_results.py --gop 8 --clips 3 ${SKIP_ABL:+--skip-ablation}
 
-git add -A docs logs RD_RESULTS.md 2>/dev/null
+git add -A docs logs 2>/dev/null
 git commit -q -m "round 4: RD_RESULTS + multiview logs from trained weights" || true
-
-# 3. headline + family perf artifacts
-bash scripts/perf_window_r4.sh
-git add -A docs
-git commit -q -m "round 4: perf window artifacts" || true
 echo "=== finalize done ==="
+# (perf artifacts were produced in the mid-round window: docs/PERF_r04.log)
