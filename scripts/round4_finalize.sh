@@ -10,6 +10,15 @@ L=logs/round4_finalize.log
 mkdir -p docs logs
 run() { echo "=== $(date +%H:%M:%S) $*" | tee -a "$L"; "$@" >> "$L" 2>&1 || echo "EXIT $? $1" | tee -a "$L"; }
 
+# 0. multiview fine-tune if the driver never reached its slot
+if [ ! -d trained/mcvc_ia_office ]; then
+  run python scripts/train_multiview.py --finetune --category office \
+      --steps 400 --size 128 --gop 4 --lr 1e-4 \
+      --ckpt pretrained_mcvc_ia_pt --out-ckpt trained/mcvc_ia_office
+  git add -A trained logs >/dev/null 2>&1
+  git commit -q -m "trained: MCVC-IA office multiview finetune (finalize)" || true
+fi
+
 # 1. multiview: per-category benchmark + OLFT bandwidth run from the
 #    TRAINED checkpoint (train_multiview.py:487-604 equivalents)
 if [ -d trained/mcvc_ia_office ]; then
