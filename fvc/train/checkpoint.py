@@ -37,12 +37,21 @@ def restore_checkpoint(path: str, reference: Any) -> Any:
 
 
 def restore_raw(path: str) -> Any:
-    """Restore a checkpoint into ITS OWN saved structure (no reference tree).
-    Needed to graft across model variants whose pytrees differ — e.g. the
-    MCVC views=1/resilience=0 pretrain into a views=V/resilience=1 model
-    (reference load_state_dict_with_copy, models.py:442-448)."""
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    """Restore a checkpoint into ITS OWN saved structure (no reference tree)
+    as HOST numpy arrays. Needed to graft across model variants whose
+    pytrees differ — e.g. the MCVC views=1/resilience=0 pretrain into a
+    views=V/resilience=1 model (load_state_dict_with_copy,
+    models.py:442-448). Restoring without explicit numpy RestoreArgs would
+    use the checkpoint's SAVED shardings, which fail on a different backend
+    ("Device TFRT_CPU_0 was not found" when a CPU-saved checkpoint is read
+    from a TPU-backend process)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    tree = meta.tree if hasattr(meta, "tree") else meta
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
