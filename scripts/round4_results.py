@@ -171,8 +171,11 @@ def main():
            "| quality | bpp (real) | PSNR |", "|---|---|---|"]
     for q, b, p in zip(mj_q, mj_bpp, mj_psnr):
         doc.append(f"| {q} | {b:.4f} | {p:.2f} |")
+    bd_str = (f"**{bd_lsvc_vs_dvc:+.1f}%**" if np.isfinite(bd_lsvc_vs_dvc)
+              else "n/a — the curves do not overlap in PSNR "
+                   "(BD-rate needs a shared quality span)")
     doc += ["\n### Bjontegaard deltas\n",
-            f"- BD-rate(LSVC vs DVC): **{bd_lsvc_vs_dvc:+.1f}%** "
+            f"- BD-rate(LSVC vs DVC): {bd_str} "
             f"(BD-PSNR {bdp_lsvc_vs_dvc:+.2f} dB) — negative = LSVC cheaper "
             "at equal quality (the reference's core Hermes claim, "
             "plot_hermes.py:752-769)",
