@@ -84,12 +84,16 @@ while time_left; do
     1|4|6|8)
       # gop 7: error-propagation training — the GOP-8 eval drift gate
       # (plot_hermes.py:814-831, VERDICT r03 #9) needs the scan to expose
-      # degraded references as deep as eval reads them
-      run python scripts/train.py --codec DVC --ladder 0,2,4,6 --steps 400 \
-          --gop 7 --crop 256 \
-          --ckpt trained/dvc_ladder --ckpt-every 200 --log-every 50 \
-          --lr 1e-4 --lr-final 1e-5 --lr-decay-steps 9000
-      commit_weights "trained: DVC wide ladder r4 chunk $i (gop7)"
+      # degraded references as deep as eval reads them. SPLIT ladder: the
+      # 4-level vmapped gop-7 backward OOMs HBM (measured EXIT 1,
+      # AllocateBuffer 224M); two half-ladders fit.
+      for HALF in 0,2 4,6; do
+        run python scripts/train.py --codec DVC --ladder "$HALF" --steps 400 \
+            --gop 7 --crop 256 \
+            --ckpt trained/dvc_ladder --ckpt-every 200 --log-every 50 \
+            --lr 1e-4 --lr-final 1e-5 --lr-decay-steps 9000
+      done
+      commit_weights "trained: DVC wide ladder r4 chunk $i (gop7 split)"
       ;;
     2|5|7)
       run python scripts/train.py --codec DVC --ladder 0,1,2,3 --loss-type M \
