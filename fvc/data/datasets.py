@@ -112,20 +112,49 @@ def read_video_ffmpeg(path: str, *, width: Optional[int] = None,
 
 class SyntheticVideoDataset:
     """Deterministic moving-texture clips so flow estimation and RD training
-    have real structure to exploit: 2-3 independently translating textured
-    layers (foreground layers occlude background) with SUBPIXEL per-frame
-    motion (integer-quantized motion would never teach the codec subpixel
-    flow) plus light sensor noise."""
+    have real structure to exploit.
+
+    Two content profiles:
+
+    - ``easy`` (the original rounds-1..4 corpus): 2-3 independently
+      *translating* box-smoothed textured layers (foreground layers occlude
+      background) with SUBPIXEL per-frame motion plus light sensor noise.
+      Evidence from round 4 (docs/RD_RESULTS.md): this content is so
+      low-entropy that DVC codes GOP-8 residuals at 0.0016 bpp with 94% of
+      bits in motion — RD numbers on it cannot falsify codec-quality claims.
+
+    - ``hard``: calibrated so an MJPEG/DCT-class intra anchor needs
+      real-video-like rates (>~0.2 bpp for 30 dB — reference UVG anchor
+      curves, plot_hermes.py:755-769) and so motion compensation leaves a
+      residual worth coding (reference mv share ~25% of bits,
+      plot_hermes.py:708-719). Ingredients:
+        * fractal (1/f-ish octave) textures — real high-frequency spatial
+          entropy instead of box-smoothed blobs;
+        * global camera AFFINE motion (translation + rotation + zoom) plus
+          per-layer affine motion — pure-translation flow cannot predict it
+          exactly, so residuals carry content;
+        * moving elliptical occluders whose centers drift independently of
+          their texture — dis-occluded regions are new content every frame;
+        * photometric variation: global gain flicker + a moving illumination
+          gradient — brightness change that warping cannot model;
+        * slow texture cross-dissolve per layer — appearance change over
+          time beyond any geometric warp;
+        * independent per-frame sensor noise (incompressible; puts a
+          real-video-like ceiling on PSNR and a floor on rate).
+    """
 
     def __init__(self, num_videos: int = 4, frames: int = 16, height: int = 256,
                  width: int = 256, seed: int = 0, motion: float = 2.0,
-                 noise: float = 0.01):
+                 noise: float = 0.01, profile: str = "easy"):
+        if profile not in ("easy", "hard"):
+            raise ValueError(f"profile must be easy|hard, got {profile!r}")
         self.num_videos = num_videos
         self.frames = frames
         self.h, self.w = height, width
         self.seed = seed
         self.motion = motion
         self.noise = noise
+        self.profile = profile
 
     def __len__(self):
         return self.num_videos
@@ -148,7 +177,146 @@ class SyntheticVideoDataset:
         bot = win[1:h + 1, :w] * (1 - fx) + win[1:h + 1, 1:w + 1] * fx
         return top * (1 - fy) + bot * fy
 
+    def _fractal_texture(self, rng, h, w):
+        """Octave noise with a ~1/f amplitude spectrum (natural-image-like):
+        per-octave amplitude halves as spatial frequency doubles, plus a
+        fine-grain octave so there is genuine high-frequency energy for the
+        entropy coder to pay for."""
+        img = np.zeros((h, w, 3), np.float32)
+        cell = max(4, min(h, w) // 4)
+        amp = 1.0
+        while cell >= 1:
+            gh, gw = h // cell + 2, w // cell + 2
+            g = rng.rand(gh, gw, 3).astype(np.float32) - 0.5
+            if cell > 1:
+                ys = np.arange(h, dtype=np.float32) / cell
+                xs = np.arange(w, dtype=np.float32) / cell
+                y0 = ys.astype(int); x0 = xs.astype(int)
+                fy = (ys - y0)[:, None, None]
+                fx = (xs - x0)[None, :, None]
+                up = (g[y0][:, x0] * (1 - fy) * (1 - fx)
+                      + g[y0][:, x0 + 1] * (1 - fy) * fx
+                      + g[y0 + 1][:, x0] * fy * (1 - fx)
+                      + g[y0 + 1][:, x0 + 1] * fy * fx)
+            else:
+                up = g[:h, :w]
+            img += amp * up
+            amp *= 0.55
+            cell //= 2
+        lo, hi = img.min(), img.max()
+        return (img - lo) / (hi - lo + 1e-6)
+
+    @staticmethod
+    def _sample_bilinear(big, ys, xs):
+        """Bilinear gather big[ys, xs] -> [H,W,3] for float coord grids."""
+        H, W = big.shape[:2]
+        y0 = np.clip(np.floor(ys).astype(int), 0, H - 2)
+        x0 = np.clip(np.floor(xs).astype(int), 0, W - 2)
+        fy = np.clip(ys - y0, 0.0, 1.0)[..., None]
+        fx = np.clip(xs - x0, 0.0, 1.0)[..., None]
+        tl = big[y0, x0]
+        tr = big[y0, x0 + 1]
+        bl = big[y0 + 1, x0]
+        br = big[y0 + 1, x0 + 1]
+        return (tl * (1 - fy) * (1 - fx) + tr * (1 - fy) * fx
+                + bl * fy * (1 - fx) + br * fy * fx)
+
+    def _hard_item(self, idx: int) -> np.ndarray:
+        # ~1.1 s/clip to synthesize; cache on disk so training-chunk startup
+        # (64-clip pools) doesn't pay a minute of numpy per chunk. Keyed by
+        # every generation parameter; gitignored (data/synth_cache/).
+        cache_root = os.environ.get("FVC_SYNTH_CACHE", "data/synth_cache")
+        key = (f"hard_s{self.seed + idx}_{self.frames}x{self.h}x{self.w}"
+               f"_m{self.motion:g}_n{self.noise:g}.npy")
+        path = os.path.join(cache_root, key) if cache_root else None
+        if path and os.path.exists(path):
+            return np.load(path)
+        out = self._hard_item_uncached(idx)
+        if path:
+            os.makedirs(cache_root, exist_ok=True)
+            tmp = f"{path}.tmp{os.getpid()}.npy"  # np.save appends .npy otherwise
+            np.save(tmp, out)
+            os.replace(tmp, path)
+        return out
+
+    def _hard_item_uncached(self, idx: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + idx)
+        h, w = self.h, self.w
+        T = self.frames
+        diag = 0.5 * np.hypot(h, w)
+        # margin must cover translation + rotation/zoom corner displacement
+        max_rot = np.deg2rad(0.5)
+        max_zoom = 0.004
+        margin = int(np.ceil(self.motion * T + diag * (max_rot + max_zoom) * T)) + 4
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        cy0, cx0 = (h - 1) / 2.0, (w - 1) / 2.0
+
+        n_layers = 2 + (idx % 2)  # background + 1-2 occluders
+        layers = []
+        for li in range(n_layers):
+            tex_a = self._fractal_texture(rng, h + 2 * margin, w + 2 * margin)
+            tex_b = self._fractal_texture(rng, h + 2 * margin, w + 2 * margin)
+            v = rng.uniform(-self.motion, self.motion, 2)      # px/frame
+            rot = rng.uniform(-max_rot, max_rot)               # rad/frame
+            zoom = rng.uniform(-max_zoom, max_zoom)            # frac/frame
+            dissolve = rng.uniform(0.005, 0.02)                # alpha/frame
+            if li > 0:
+                cy, cx = rng.uniform(0.25, 0.75, 2)
+                ry, rx = rng.uniform(0.15, 0.35, 2)
+                mv = rng.uniform(-self.motion, self.motion, 2) / min(h, w)
+            else:
+                cy = cx = ry = rx = 0.0
+                mv = np.zeros(2)
+            layers.append(dict(tex_a=tex_a, tex_b=tex_b, v=v, rot=rot,
+                               zoom=zoom, dissolve=dissolve,
+                               matte=(cy, cx, ry, rx), mv=mv, fg=li > 0))
+
+        # photometric schedule: gain flicker + moving illumination gradient
+        g_amp = rng.uniform(0.02, 0.06)
+        g_per = rng.uniform(6.0, 20.0)
+        g_phi = rng.uniform(0, 2 * np.pi)
+        grad_amp = rng.uniform(0.03, 0.08)
+        grad_th = rng.uniform(0, 2 * np.pi)
+        grad_vel = rng.uniform(-0.05, 0.05)
+        grad_field = ((xx / w) * np.cos(grad_th)
+                      + (yy / h) * np.sin(grad_th))[..., None]
+
+        frames = []
+        for t in range(T):
+            canvas = None
+            for L in layers:
+                # inverse affine: output px -> source coords in the big tex
+                th = L["rot"] * t
+                s = (1.0 + L["zoom"]) ** t
+                cth, sth = np.cos(th) * s, np.sin(th) * s
+                dy = yy - cy0
+                dx = xx - cx0
+                sy = cth * dy - sth * dx + cy0 + margin + t * L["v"][1]
+                sx = sth * dy + cth * dx + cx0 + margin + t * L["v"][0]
+                a = min(1.0, t * L["dissolve"])
+                tex = L["tex_a"] * (1 - a) + L["tex_b"] * a
+                crop = self._sample_bilinear(tex, sy, sx)
+                if not L["fg"]:
+                    canvas = crop
+                else:
+                    cy, cx, ry, rx = L["matte"]
+                    my = (yy / h - (cy + t * L["mv"][1])) / ry
+                    mx = (xx / w - (cx + t * L["mv"][0])) / rx
+                    m = np.clip(3.0 - np.sqrt(my ** 2 + mx ** 2) * 3.0, 0, 1)
+                    mask = m[..., None].astype(np.float32)
+                    canvas = canvas * (1 - mask) + crop * mask
+            gain = 1.0 + g_amp * np.sin(2 * np.pi * t / g_per + g_phi)
+            illum = 1.0 + grad_amp * grad_field * np.sin(
+                2 * np.pi * (t * grad_vel + 0.25))
+            canvas = canvas * gain * illum
+            canvas = canvas + self.noise * rng.randn(h, w, 3).astype(np.float32)
+            frames.append(np.clip(canvas, 0, 1).astype(np.float32))
+        return np.stack(frames)
+
     def __getitem__(self, idx: int) -> np.ndarray:
+        if self.profile == "hard":
+            return self._hard_item(idx)
         rng = np.random.RandomState(self.seed + idx)
         h, w = self.h, self.w
         margin = int(np.ceil(self.motion * self.frames)) + 2
@@ -238,7 +406,8 @@ class FrameDataset:
     absent so training is runnable hermetically."""
 
     def __init__(self, root: Optional[str] = None, crop: int = 256,
-                 frames: int = 7, num_synthetic: int = 64, seed: int = 0):
+                 frames: int = 7, num_synthetic: int = 64, seed: int = 0,
+                 profile: str = "easy"):
         self.crop = crop
         self.frames = frames
         self.samples: List[str] = []
@@ -251,7 +420,7 @@ class FrameDataset:
         if not self.samples:
             self.synthetic = SyntheticVideoDataset(
                 num_videos=num_synthetic, frames=frames,
-                height=crop, width=crop, seed=seed)
+                height=crop, width=crop, seed=seed, profile=profile)
 
     def __len__(self):
         return len(self.samples) if self.samples else len(self.synthetic)
@@ -277,7 +446,7 @@ class MultiViewVideoDataset:
                  gop: int = 16, height: int = 256, width: int = 256,
                  sample_interval: float = 1.0, c2s_ratio: float = 1.0,
                  max_pool_size: int = 10, seed: int = 0,
-                 num_samples: int = 8):
+                 num_samples: int = 8, profile: str = "easy"):
         self.views = self.CATEGORY_VIEWS.get(category, 4)
         self.gop = gop
         self.h, self.w = height, width
@@ -292,7 +461,7 @@ class MultiViewVideoDataset:
         self.category = category
         self._synth = SyntheticVideoDataset(
             num_videos=num_samples * self.views, frames=gop,
-            height=height, width=width, seed=seed)
+            height=height, width=width, seed=seed, profile=profile)
 
     def __len__(self):
         return self.num_samples

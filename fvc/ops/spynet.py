@@ -48,7 +48,15 @@ class MEBasic(nn.Module):
     def __call__(self, x):
         from fvc.ops.conv import depth_to_space, space_to_depth
 
-        r_max = int(os.environ.get("FVC_SPYNET_S2D", self.s2d_max))
+        # NB trace-time read: the value is baked into the jitted program —
+        # changing the env after a program is cached has no effect until a
+        # new shape/jit triggers a retrace.
+        raw = os.environ.get("FVC_SPYNET_S2D", "")
+        if raw and raw.strip() not in ("1", "2", "4"):
+            raise ValueError(
+                f"FVC_SPYNET_S2D={raw!r}: accepted values are 1, 2 or 4 "
+                "(space-to-depth packing factor for the MEBasic stacks)")
+        r_max = int(raw) if raw else self.s2d_max
         r = 1
         for cand in (4, 2):
             if (cand <= r_max and x.shape[1] % cand == 0

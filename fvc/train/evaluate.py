@@ -303,10 +303,18 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
     if name.startswith("Base") or name == "DVC-pretrained":
         # Base/-EC/-ER (models.py:1550): I-frame passthrough reference,
         # sequential P-frames; out dict carries bpp_est/psnr directly.
+        codec = None
         if real_bits:
-            raise NotImplementedError(
-                "Base family real-bitstream coding is not implemented "
-                "(reference measures it via torchac under calrealbits)")
+            if name == "DVC-pretrained":
+                raise NotImplementedError(
+                    "DVC-pretrained real bits: use --codec DVC --real-bits "
+                    "(fvc/models/bitstream_dvc.py) — the torch-interop "
+                    "architecture shares its coding path")
+            # torchac calrealbits equivalent (models.py:1249-1299):
+            # fvc/models/bitstream_base.py codes mv/z with the learned
+            # factorized tables and the residual with sigma-indexed Laplace
+            from fvc.models.bitstream_base import BaseBitstreamCodec
+            codec = BaseBitstreamCodec(model, variables)
 
         @jax.jit
         def base_run(v, x_cur, x_ref):
@@ -315,7 +323,7 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
 
         for g in gops:
             x = jnp.asarray(g)
-            T = x.shape[0]
+            T, H, W = x.shape[0], x.shape[1], x.shape[2]
             x_ref = x[0][None]
             bpps, psnrs = [], []
             t0 = time.perf_counter()
@@ -325,9 +333,13 @@ def eval_family_on_gops(codec_name: str, model, variables, gops, *,
                 psnrs.append(float(ps))
             jax.block_until_ready(x_ref)
             dt = time.perf_counter() - t0
-            results.append({
-                "bpp": float(np.mean(bpps)), "psnr": float(np.mean(psnrs)),
-                "psnr_list": psnrs, "time_per_frame": dt / (T - 1)})
+            r = {"bpp": float(np.mean(bpps)), "psnr": float(np.mean(psnrs)),
+                 "psnr_list": psnrs, "time_per_frame": dt / (T - 1)}
+            if codec is not None:
+                streams, _ = codec.compress(np.asarray(x)[:, None])
+                # per-P-frame bpp, matching the bpp_est denominator above
+                r["bpp_act"] = codec.num_bits(streams) / ((T - 1) * H * W)
+            results.append(r)
         return results
 
     if name.startswith("ELFVC"):

@@ -54,10 +54,19 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
                  steps, gop, learning_rate, seed, log_every, ckpt_root,
                  ckpt_every, step_offset, batched_gop: bool,
                  log_keys=("loss", "psnr", "bpp_est"),
-                 spike_factor: float = 10.0, clip_norm=None):
+                 spike_factor: float = 10.0, clip_norm=None,
+                 ema_decay: float = 0.999):
     """Shared ladder driver. loss_fn(params, lam, frames, key) ->
     (scalar, metrics). `batched_gop`: frames per level are [1,T,H,W,3]
     (whole-GOP models) vs [T,1,H,W,3] (sequential scan models).
+
+    EMA (round-5, VERDICT r04 weak #3): RD training on a varied-content
+    corpus keeps per-step params noisy (observed: the LSVC l2 point swings
+    +-3 dB between adjacent log points even at lr 2e-5). A Polyak average
+    of the params is tracked on device and checkpointed next to the raw
+    ladder under `{ckpt_root}_ema_l{level}` — eval/bench read the EMA dirs.
+    Raw params remain the resume/rollback state, so training dynamics are
+    unchanged. ema_decay=0 disables.
 
     Per-level divergence rollback: unclipped Adam under RD lambdas can walk
     a level into a collapsed state it does not recover from (observed: one
@@ -73,17 +82,31 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
     optimizer = make_optimizer(learning_rate, clip_norm=clip_norm)
     opt_state = jax.vmap(optimizer.init)(variables)
 
-    def step_one(params, opt_state, lam, frames, key):
+    ema = None
+    if ema_decay:
+        if ckpt_root:  # resume the average alongside the raw ladder
+            ref = jax.device_get(_slice_tree(variables, 0))
+            ema, _ = resume_ladder(f"{ckpt_root}_ema", levels, ref)
+        if ema is None:
+            ema = jax.tree_util.tree_map(jnp.copy, variables)
+    else:
+        ema = ()  # leafless pytree: vmap/jit/donate all no-op on it
+
+    def step_one(params, opt_state, ema, lam, frames, key):
         (loss, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, lam, frames, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if ema_decay:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay),
+                ema, params)
         metrics = {k: jnp.mean(v) for k, v in outs.items()
                    if hasattr(v, "ndim") and v.ndim <= 1}
         metrics["loss"] = loss
-        return params, opt_state, metrics
+        return params, opt_state, ema, metrics
 
-    step_fn = jax.jit(jax.vmap(step_one), donate_argnums=(0, 1))
+    step_fn = jax.jit(jax.vmap(step_one), donate_argnums=(0, 1, 2))
 
     # Device-resident pool (per-step H2D through the tunnel leaks the
     # transfer buffer host-side — see train_single_view).
@@ -91,14 +114,17 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
     data_dev = jnp.asarray(stackd[:, None] if batched_gop
                            else stackd[:, :, None])
 
-    def _rollback_level(variables, opt_state, i):
+    def _rollback_level(variables, opt_state, ema, i):
         """Restore level i's params from its latest on-disk checkpoint and
-        re-init its optimizer state; other levels' slices are untouched."""
+        re-init its optimizer state; other levels' slices are untouched.
+        The EMA slice restores from its own dir when present, else resets
+        to the restored raw params (a diverged level's average is
+        contaminated by the walk into divergence)."""
         from fvc.train.checkpoint import latest_checkpoint, restore_checkpoint
 
         path = latest_checkpoint(_ckpt_dir(ckpt_root, levels[i]))
         if path is None:
-            return variables, opt_state, False
+            return variables, opt_state, ema, False
         ref = jax.device_get(_slice_tree(variables, i))
         good = restore_checkpoint(path, {"params": ref})["params"]
         variables = jax.tree_util.tree_map(
@@ -107,7 +133,13 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
         opt_state = jax.tree_util.tree_map(
             lambda cur, g: cur.at[i].set(jnp.asarray(g)), opt_state,
             fresh_opt)
-        return variables, opt_state, True
+        if ema_decay:
+            epath = latest_checkpoint(_ckpt_dir(f"{ckpt_root}_ema", levels[i]))
+            egood = (restore_checkpoint(epath, {"params": ref})["params"]
+                     if epath else good)
+            ema = jax.tree_util.tree_map(
+                lambda cur, g: cur.at[i].set(jnp.asarray(g)), ema, egood)
+        return variables, opt_state, ema, True
 
     rng = np.random.RandomState(seed)
     history = []
@@ -117,8 +149,8 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
         frames = data_dev[idx]
         keys = jax.random.split(
             jax.random.PRNGKey(seed + 7919 * (step_offset + step)), L)
-        variables, opt_state, metrics = step_fn(
-            variables, opt_state, lambdas, frames, keys)
+        variables, opt_state, ema, metrics = step_fn(
+            variables, opt_state, ema, lambdas, frames, keys)
         if step % log_every == 0 or step == steps - 1:
             rec = {"step": step_offset + step, "t": round(time.time(), 1)}
             m = {k: np.asarray(v) for k, v in metrics.items()}
@@ -133,8 +165,8 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
                 bad = (not np.isfinite(losses[i])
                        or losses[i] > spike_factor * med)
                 if bad and ckpt_root:
-                    variables, opt_state, ok = _rollback_level(
-                        variables, opt_state, i)
+                    variables, opt_state, ema, ok = _rollback_level(
+                        variables, opt_state, ema, i)
                     if ok:
                         rolled.append(levels[i])
                         continue
@@ -148,15 +180,19 @@ def _ladder_loop(loss_fn, variables, lambdas, levels, dataset, *,
             history.append(rec)
             print(json.dumps(rec), flush=True)
         if ckpt_root and (step + 1) % ckpt_every == 0:
+            skip = _unhealthy_levels(metrics, recent, L, spike_factor)
             _save_ladder(ckpt_root, levels, variables,
-                         step_offset + step + 1,
-                         skip=_unhealthy_levels(metrics, recent, L,
-                                                spike_factor))
+                         step_offset + step + 1, skip=skip)
+            if ema_decay:
+                _save_ladder(f"{ckpt_root}_ema", levels, ema,
+                             step_offset + step + 1, skip=skip)
     if ckpt_root:
+        skip = _unhealthy_levels(metrics, recent, L, spike_factor)
         _save_ladder(ckpt_root, levels, variables, step_offset + steps,
-                     best=True,
-                     skip=_unhealthy_levels(metrics, recent, L,
-                                            spike_factor))
+                     best=True, skip=skip)
+        if ema_decay:
+            _save_ladder(f"{ckpt_root}_ema", levels, ema,
+                         step_offset + steps, best=True, skip=skip)
     return variables, history
 
 
@@ -182,7 +218,8 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
                           ckpt_root: Optional[str] = None,
                           ckpt_every: int = 5000, step_offset: int = 0,
                           init_params=None, spike_factor: float = 10.0,
-                          loss_type: str = "P", clip_norm=None):
+                          loss_type: str = "P", clip_norm=None,
+                          ema_decay: float = 0.999):
     """DVC/RLVC ladder (scan engine, reference loss train.py:185-207).
 
     loss_type 'M' trains the MS-SSIM operating points: distortion is
@@ -231,7 +268,7 @@ def train_ladder_iterpred(model, dataset, *, levels: Sequence[int],
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
                         batched_gop=False, spike_factor=spike_factor,
-                        clip_norm=clip_norm)
+                        clip_norm=clip_norm, ema_decay=ema_decay)
 
 
 def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
@@ -240,7 +277,8 @@ def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
                      log_every: int = 50, ckpt_root: Optional[str] = None,
                      ckpt_every: int = 5000, step_offset: int = 0,
                      bf16: bool = False, stage: str = "REC",
-                     init_params=None, spike_factor: float = 10.0):
+                     init_params=None, spike_factor: float = 10.0,
+                     ema_decay: float = 0.999):
     """LSVC-style (whole-GOP apply) ladder, vmapped over lsvc_loss_fn."""
     lambdas = jnp.asarray([PSNR_LAMBDAS[l] for l in levels], jnp.float32)
     sample = jnp.asarray(dataset[0][: gop + 1])
@@ -267,7 +305,8 @@ def train_ladder_gop(model, cfg: CodecConfig, dataset, *,
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
                         batched_gop=True, spike_factor=spike_factor,
-                        log_keys=("loss", "psnr", "bpp_est", "rec_loss"))
+                        log_keys=("loss", "psnr", "bpp_est", "rec_loss"),
+                        ema_decay=ema_decay)
 
 
 def train_ladder_elfvc(model, dataset, *, levels: Sequence[int],
@@ -275,7 +314,8 @@ def train_ladder_elfvc(model, dataset, *, levels: Sequence[int],
                        learning_rate: float = 1e-4, seed: int = 0,
                        log_every: int = 50, ckpt_root: Optional[str] = None,
                        ckpt_every: int = 5000, step_offset: int = 0,
-                       alpha: float = 100.0, init_params=None, spike_factor: float = 10.0):
+                       alpha: float = 100.0, init_params=None,
+                       spike_factor: float = 10.0, ema_decay: float = 0.999):
     """ELFVC(-SP) ladder: state-chain scan + α·pred_norm SP aux
     (reference parallel_compression models.py:274-308)."""
     from fvc.models.elfvc import elfvc_frame_metrics
@@ -312,7 +352,8 @@ def train_ladder_elfvc(model, dataset, *, levels: Sequence[int],
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
                         batched_gop=False, spike_factor=spike_factor,
-                        log_keys=("loss", "psnr", "bpp_est", "pred_norm"))
+                        log_keys=("loss", "psnr", "bpp_est", "pred_norm"),
+                        ema_decay=ema_decay)
 
 
 def train_ladder_ssf(model, dataset, *, levels: Sequence[int],
@@ -320,7 +361,8 @@ def train_ladder_ssf(model, dataset, *, levels: Sequence[int],
                      learning_rate: float = 1e-4, seed: int = 0,
                      log_every: int = 50, ckpt_root: Optional[str] = None,
                      ckpt_every: int = 5000, step_offset: int = 0,
-                     init_params=None, spike_factor: float = 10.0):
+                     init_params=None, spike_factor: float = 10.0,
+                     ema_decay: float = 0.999):
     """SSF/Base ladder: stateless sequential scan; the learned keyframe
     branch (when present) trains jointly per level (fvc.train.loop.train_ssf
     semantics)."""
@@ -378,7 +420,8 @@ def train_ladder_ssf(model, dataset, *, levels: Sequence[int],
                         steps=steps, gop=gop, learning_rate=learning_rate,
                         seed=seed, log_every=log_every, ckpt_root=ckpt_root,
                         ckpt_every=ckpt_every, step_offset=step_offset,
-                        batched_gop=False, spike_factor=spike_factor)
+                        batched_gop=False, spike_factor=spike_factor,
+                        ema_decay=ema_decay)
 
 
 def resume_ladder(root: str, levels, ref_tree):

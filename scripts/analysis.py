@@ -77,8 +77,10 @@ def error_propagation(args):
         table.append([r["codec"], r["level"], f"{r['bpp_est']:.3f}"]
                      + [f"{v:.2f}" for v in pf] + [""] * (n - len(pf)))
         # drift: last-frame PSNR minus first P-frame PSNR (negative = decay);
-        # gate: |drift| <= 2 dB over the GOP (the reference stays within
-        # ~1 dB over GOP-13, plot_hermes.py:814-831 — VERDICT r03 #9)
+        # one-sided gate: PSNR decay no worse than -2 dB over the GOP
+        # (the reference stays within ~1 dB over GOP-13,
+        # plot_hermes.py:814-831 — VERDICT r03 #9). Positive drift (later
+        # frames BETTER than P1) is not error accumulation and passes.
         drift = round(pf[-1] - pf[0], 3)
         out_rows.append({"codec": r["codec"], "level": r["level"],
                          "bpp": r["bpp_est"], "psnr_per_frame": pf,
@@ -125,7 +127,8 @@ def tree_ablation(args):
 
     sds = SyntheticVideoDataset(num_videos=args.max_gops,
                                 frames=args.gop + 1, height=args.size,
-                                width=args.size)
+                                width=args.size, seed=args.corpus_seed,
+                                profile=args.corpus)
     gops = [sds[i] for i in range(len(sds))]
 
     variants = [("LSVC", "default-tree"), ("LSVC-L", "chain"),
@@ -176,6 +179,8 @@ def main():
     p.add_argument("--gop", type=int, default=6)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--max-gops", type=int, default=2)
+    p.add_argument("--corpus", default="hard", choices=["easy", "hard"])
+    p.add_argument("--corpus-seed", type=int, default=9000)
     p.set_defaults(fn=tree_ablation)
 
     args = ap.parse_args()

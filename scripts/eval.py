@@ -22,6 +22,13 @@ def main():
     ap.add_argument("--level", type=int, default=2)
     ap.add_argument("--data", default=None)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--corpus", default="hard", choices=["easy", "hard"],
+                    help="synthetic eval-content profile (round-5 default "
+                         "'hard': the easy corpus cannot support quality "
+                         "claims — see SyntheticVideoDataset)")
+    ap.add_argument("--corpus-seed", type=int, default=9000,
+                    help="seed for synthetic eval clips; keep disjoint from "
+                         "training pools (training uses seed+0..63)")
     ap.add_argument("--gop", type=int, default=16)
     ap.add_argument("--max-gops", type=int, default=4)
     ap.add_argument("--ckpt", default=None)
@@ -71,7 +78,9 @@ def main():
     else:
         from fvc.data.datasets import SyntheticVideoDataset
         sds = SyntheticVideoDataset(num_videos=args.max_gops, frames=args.gop,
-                                    height=256, width=256)
+                                    height=256, width=256,
+                                    seed=args.corpus_seed,
+                                    profile=args.corpus)
         gops = [sds[i] for i in range(len(sds))]
 
     # ---- anchors ----

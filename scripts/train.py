@@ -35,6 +35,10 @@ def main():
                     help="super-precision pred-error aux weight for ELFVC-SP "
                          "(reference train.py --alpha)")
     ap.add_argument("--data", default=None, help="Vimeo-style frame dirs; synthetic if absent")
+    ap.add_argument("--corpus", default="hard", choices=["easy", "hard"],
+                    help="synthetic-fallback content profile (round-5: the "
+                         "'easy' rounds-1..4 corpus lets DVC code residuals "
+                         "at 0.0016 bpp — see SyntheticVideoDataset)")
     ap.add_argument("--crop", type=int, default=256)
     ap.add_argument("--aug-pad", type=int, default=0,
                     help="on-device random-crop augmentation: pool clips are "
@@ -67,6 +71,10 @@ def main():
                          "{--ckpt}_l{level}). One jit program advances the "
                          "whole RD ladder — see fvc.train.ladder")
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--ema-decay", type=float, default=0.999,
+                    help="Polyak-average decay for the eval params tracked "
+                         "next to the raw ladder ({ckpt}_ema_l{level} dirs); "
+                         "0 disables (see fvc.train.ladder)")
     ap.add_argument("--clip-norm", type=float, default=None,
                     help="global-norm gradient clip for ladder training "
                          "(OFF by default — see fvc.train.step.make_optimizer; "
@@ -94,7 +102,8 @@ def main():
         args.codec, compression_level=args.compression_level,
         loss_type=args.loss_type)
     ds = FrameDataset(root=args.data, crop=args.crop + args.aug_pad,
-                      frames=args.gop + 1, seed=args.seed)
+                      frames=args.gop + 1, seed=args.seed,
+                      profile=args.corpus)
 
     mesh = None
     if args.mesh_data:
@@ -211,7 +220,7 @@ def main():
                       learning_rate=lr, seed=args.seed,
                       ckpt_root=args.ckpt, ckpt_every=args.ckpt_every,
                       step_offset=step_offset, init_params=init_stacked,
-                      log_every=args.log_every)
+                      log_every=args.log_every, ema_decay=args.ema_decay)
         if iterpred:
             _ladder.train_ladder_iterpred(model, ds,
                                           loss_type=args.loss_type,

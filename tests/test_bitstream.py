@@ -82,6 +82,38 @@ def test_dvc_real_bitstream_roundtrip():
     assert decoded.shape == (T - 1, B, H, W, 3)
 
 
+def test_base_real_bitstream_roundtrip():
+    """Base family (torchac calrealbits equivalent, models.py:1249-1299):
+    mv/z factorized + sigma-indexed Laplace residual; decode must reproduce
+    the encoder-side reconstruction exactly. Runs the -EC variant so the
+    correction-channel split is exercised too."""
+    from fvc.models.base_codec import BaseCodec
+    from fvc.models.bitstream_base import BaseBitstreamCodec
+
+    for name in ("Base", "Base-EC"):
+        cfg = CodecConfig.from_name(name)
+        model = BaseCodec(cfg)
+        rng = np.random.RandomState(4)
+        T, B, H, W = 3, 1, 64, 64
+        frames = np.clip(rng.rand(T, B, H, W, 3), 0, 1).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(frames[1]),
+                               jnp.asarray(frames[0]), training=False)
+
+        codec = BaseBitstreamCodec(model, variables)
+        streams, info = codec.compress(frames)
+        assert all(len(v) > 0 for v in streams.values()), name
+        decoded = codec.decompress(frames[0], streams, info)
+        np.testing.assert_allclose(decoded, info["recon"], atol=1e-5)
+        assert decoded.shape == (T - 1, B, H, W, 3)
+
+        # actual bits track the forward's estimate (entropy_models.py:414-459
+        # invariant; generous bound at fresh init)
+        _, out = model.apply(variables, jnp.asarray(frames[1]),
+                             jnp.asarray(frames[0]), training=False)
+        est_bits = float(out["bpp_est"]) * B * H * W * (T - 1)
+        assert codec.num_bits(streams) < est_bits * 1.3 + 4096, name
+
+
 def test_rlvc_real_bitstream_roundtrip():
     """RPM-conditioned sequential real coding: per-frame streams, decoder
     RPM chain driven by previously-decoded latents; reconstructions must match

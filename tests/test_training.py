@@ -59,7 +59,8 @@ def test_train_mcvc_olft_only_backup_params_change():
     variables, history = train_multiview_olft(
         model, cfg, ds, steps=3, learning_rate=1e-3)
     assert len(history) == 3
-    assert all(np.isfinite(history))
+    assert all(np.isfinite(h["mse"]) and np.isfinite(h["psnr"])
+               for h in history)
 
 
 def test_probe_sample_interval():
