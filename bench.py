@@ -47,7 +47,13 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--gop", type=int, default=6)
+    ap.add_argument("--gop", type=int, default=14,
+                    help="subGOP per tree program. Default 14: the wavefront "
+                         "operating point (VERDICT r04 #4) — the batched tree "
+                         "gains throughput with subGOP (reference's own "
+                         "scalability suite sweeps 1..30 and REPORTS the "
+                         "rising curve, plot_hermes.py:849-857); 6 remains in "
+                         "--gop-sweep for the round<=4 comparison point")
     ap.add_argument("--height", type=int, default=640)
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--iters", type=int, default=5)
@@ -61,7 +67,7 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--fast", action="store_true",
                     help="headline only (skip decode/sweep/1080p/batch)")
-    ap.add_argument("--gop-sweep", default="2,14,30", metavar="G1,G2,..",
+    ap.add_argument("--gop-sweep", default="2,6,30", metavar="G1,G2,..",
                     help="subGOP sizes for the scalability sweep (the "
                          "reference's suite, plot_hermes.py:849-857: fps "
                          "RISES with subGOP for the batched tree)")
@@ -310,6 +316,7 @@ def main():
             except Exception as e:
                 log(f"# batch bench failed: {e}")
 
+    sub["gop"] = gop
     result = {
         "metric": f"lsvc_{H}x{W}_pframe_encdec_fps_per_chip",
         "value": round(fps, 3),

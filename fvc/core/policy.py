@@ -81,6 +81,30 @@ def pallas_spynet():
         _PALLAS_SPYNET.reset(token)
 
 
+_PALLAS_WARPNET: contextvars.ContextVar = contextvars.ContextVar(
+    "fvc_pallas_warpnet", default=False)
+
+
+def pallas_warpnet_enabled() -> bool:
+    import os
+
+    return (_PALLAS_WARPNET.get()
+            or os.environ.get("FVC_PALLAS_WARPNET") == "1")
+
+
+@contextlib.contextmanager
+def pallas_warpnet():
+    """Route WarpNet ResBlocks through the fused two-conv Pallas kernel
+    (fvc.ops.pallas_warpnet.fused_resblock) — exact vs the XLA path incl.
+    borders; inference fast path for the E-MC stage (the round-4 #1 cost
+    at 8.7% SoL, docs/PERF_r04.log)."""
+    token = _PALLAS_WARPNET.set(True)
+    try:
+        yield
+    finally:
+        _PALLAS_WARPNET.reset(token)
+
+
 _SSF_PYRAMID: contextvars.ContextVar = contextvars.ContextVar(
     "fvc_ssf_pyramid", default=False)
 

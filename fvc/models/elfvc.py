@@ -58,16 +58,37 @@ class FlowPredictor(nn.Module):
 
     mid: int = 128
     half_res: bool = False
+    # space-to-depth packing for the stride-1 conv5 stack (exact — see
+    # fvc.ops.conv pack_s2d_weights): k=5 packs to k'=3 at 4x channels,
+    # 1.44x structural-zero FLOPs for 512-deep MXU contractions instead of
+    # 128 — the same transform that bought MEBasic 1.46x (ROUND4_NOTES).
+    # Env FVC_ELFVC_S2D in {1,2} overrides (trace-time, like FVC_SPYNET_S2D).
+    s2d_max: int = 2
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         if self.half_res:
             from fvc.ops.resize import avg_pool2
             x = avg_pool2(x)
-        x = jax.nn.relu(Conv(self.mid, kernel=5)(x))
-        x = jax.nn.relu(Conv(self.mid, kernel=5)(x))
-        x = jax.nn.relu(Conv(self.mid, kernel=5)(x))
-        x = Conv(3, kernel=5)(x)
+        raw = os.environ.get("FVC_ELFVC_S2D", "")
+        if raw and raw.strip() not in ("1", "2"):
+            raise ValueError(f"FVC_ELFVC_S2D={raw!r}: accepted values are "
+                             "1 or 2")
+        r_max = int(raw) if raw else self.s2d_max
+        r = 2 if (r_max >= 2 and x.shape[1] % 2 == 0
+                  and x.shape[2] % 2 == 0) else 1
+        if r > 1:
+            from fvc.ops.conv import depth_to_space, space_to_depth
+            x = space_to_depth(x, r)
+        x = jax.nn.relu(Conv(self.mid, kernel=5, s2d=r)(x))
+        x = jax.nn.relu(Conv(self.mid, kernel=5, s2d=r)(x))
+        x = jax.nn.relu(Conv(self.mid, kernel=5, s2d=r)(x))
+        x = Conv(3, kernel=5, s2d=r)(x)
+        if r > 1:
+            from fvc.ops.conv import depth_to_space
+            x = depth_to_space(x, r)
         if self.half_res:
             from fvc.ops.resize import upsample2x
             x = upsample2x(x, align_corners=False)

@@ -23,6 +23,18 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from fvc.core.policy import compute_dtype, pallas_warpnet_enabled
+
+        if (pallas_warpnet_enabled() and not self.is_initializing()
+                and self.kernel == 3 and x.shape[-1] == self.features):
+            # fused two-conv VMEM-resident kernel (exact incl. borders) —
+            # the E-MC occupancy fix, fvc/ops/pallas_warpnet.py
+            from fvc.ops.pallas_warpnet import fused_resblock
+
+            dt = compute_dtype()
+            return fused_resblock(
+                x, self.variables["params"],
+                compute_dtype=dt).astype(dt or x.dtype)
         y = jax.nn.relu(x)
         y = Conv(self.features, kernel=self.kernel)(y)
         y = jax.nn.relu(y)

@@ -1,0 +1,124 @@
+"""Fused WarpNet ResBlock — the pre-activation 2-conv residual block as ONE
+Pallas program.
+
+Why: after round-4's SpyNet s2d packing, WarpNet (the reference's Warp_net MC
+refinement, models.py:796-830) became LSVC's #1 encode stage: 87.4 ms at 8.7%
+speed-of-light for 640x960x6 frames (docs/PERF_r04.log). The program is
+occupancy-bound, not roofline-bound — fourteen separate 64-channel XLA convs
+each dispatch a low-utilization kernel and bounce intermediates through HBM.
+Each WarpNet ResBlock is two 3x3 64->64 convs; fusing the pair keeps the
+intermediate in VMEM and halves the dispatch count of the U-net body.
+
+Mosaic status (round-5 probe): this container's remote-compile helper now
+accepts medium kernels — 18-dot two-layer conv chains and 49-dot 7x7 convs
+compile (round 4 it 500'd on anything non-trivial); only the 245-dot fused
+MEBasic still fails. This kernel is an 18-dot program.
+
+Tiling mirrors fvc.ops.pallas_spynet.fused_mebasic_tiles: XLA-side
+materialized overlapping row tiles + affine BlockSpecs only (no dynamic
+memref slicing), with the single intermediate layer's outside-image halo
+positions masked back to zero so the fused result is EXACT vs the XLA path
+everywhere, including borders.
+
+Exactness: the block computes out = x + conv2(relu(conv1(relu(x)))) with
+per-conv SAME zero padding. relu maps the tile's zero padding to zero, so
+conv1 sees exactly XLA's padded input; after conv1 the halo columns/rows that
+fall outside the image hold relu(bias)-contaminated values and are re-zeroed
+before conv2 consumes them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K = 3
+PAD = K // 2      # per-layer halo
+HALO = 2 * PAD    # two conv layers
+
+
+def _conv3_rows(x, w, rows_out, width_out, cdt):
+    """x: [rows_out+2, width_out+2, Cin], w: [3, 3, Cin, Cout]; valid conv.
+    Nine taps as [rows*W, Cin] @ [Cin, Cout] MXU dots, f32 accumulation."""
+    cin = x.shape[-1]
+    cout = w.shape[-1]
+    acc = jnp.zeros((rows_out * width_out, cout), jnp.float32)
+    for ki in range(K):
+        row_slab = x[ki:ki + rows_out]
+        for kj in range(K):
+            tap = row_slab[:, kj:kj + width_out].reshape(
+                rows_out * width_out, cin)
+            acc = acc + jnp.dot(tap.astype(cdt), w[ki, kj].astype(cdt),
+                                preferred_element_type=jnp.float32)
+    return acc.reshape(rows_out, width_out, cout)
+
+
+def fused_resblock(x, params, *, block_rows: int = 32, compute_dtype=None):
+    """out = x + conv2(relu(conv1(relu(x)))), both convs 3x3 SAME, channels
+    preserved (the WarpNet ResBlock shape, models.py:771-794).
+
+    x: [B, H, W, C]; params: {'Conv_0': {kernel, bias}, 'Conv_1': ...}.
+    compute_dtype: dot-operand dtype (None = x.dtype); accumulation is
+    always f32 and the output keeps x.dtype.
+    """
+    B, H, W, C = x.shape
+    w1 = params["Conv_0"]["kernel"]
+    b1 = params["Conv_0"]["bias"]
+    w2 = params["Conv_1"]["kernel"]
+    b2 = params["Conv_1"]["bias"]
+    assert w1.shape == (K, K, C, C) and w2.shape == (K, K, C, C), (
+        w1.shape, w2.shape, x.shape)
+    cdt = compute_dtype or x.dtype
+    out_dt = x.dtype
+
+    n_blocks = -(-H // block_rows)
+    pad_h = n_blocks * block_rows - H
+    rows_in = block_rows + 2 * HALO
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO + pad_h), (HALO, HALO), (0, 0)))
+    # [B, n_blocks, rows_in, W+2*HALO, C] — static strided row windows
+    tiles = jnp.stack(
+        [jax.lax.slice_in_dim(xp, i * block_rows, i * block_rows + rows_in,
+                              axis=1) for i in range(n_blocks)], axis=1)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, rows_in, W + 2 * HALO, C),
+                     lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, K, C, C), lambda b, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, K, C, C), lambda b, i: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+    ]
+
+    def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+        i = pl.program_id(1)
+        x_t = x_ref[0, 0]
+        h = _conv3_rows(jax.nn.relu(x_t), w1_ref[:],
+                        rows_in - 2 * PAD, W + 2 * HALO - 2 * PAD, cdt)
+        h = jax.nn.relu(h + b1_ref[:])
+        # re-zero intermediate positions outside the image (XLA's conv2
+        # input is zero there via its own SAME padding)
+        rows, cols = h.shape[0], h.shape[1]
+        r = (i * block_rows - PAD
+             + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0))
+        c = (-PAD + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1))
+        ok = (r >= 0) & (r < H) & (c >= 0) & (c < W)
+        h = h * ok[..., None].astype(h.dtype)
+        y = _conv3_rows(h, w2_ref[:], block_rows, W, cdt) + b2_ref[:]
+        o_ref[0] = (x_t[HALO:HALO + block_rows, HALO:HALO + W]
+                    .astype(jnp.float32) + y).astype(out_dt)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_blocks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_rows, W, C),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_blocks * block_rows, W, C), out_dt),
+    )(tiles, w1, b1, w2, b2)
+    return out[:, :H]

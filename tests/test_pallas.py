@@ -113,3 +113,27 @@ def test_conv3x3_pallas_matches_xla():
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
     assert got.shape == ref.shape
     assert float(jnp.max(jnp.abs(got - ref))) < 1e-4
+
+
+def test_fused_resblock_exact_everywhere():
+    """Fused WarpNet ResBlock (fvc.ops.pallas_warpnet): two 3x3 convs + the
+    residual add in one kernel; the intermediate's outside-image halo is
+    re-zeroed, so the result is exact vs the XLA ResBlock INCLUDING borders
+    and non-multiple H."""
+    import flax
+    from jax.experimental.pallas import tpu as pltpu
+    from fvc.ops.blocks import ResBlock
+    from fvc.ops.pallas_warpnet import fused_resblock
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 37, 41, 64).astype(np.float32))
+    m = ResBlock(64)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    p = flax.core.unfreeze(variables)["params"]
+    p = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32) * 0.1), p)
+    ref = m.apply({"params": p}, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_resblock(x, p, block_rows=16)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

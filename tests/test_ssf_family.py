@@ -256,3 +256,24 @@ def test_elfvc_hr_flow_predictor_param_compatible():
     # and the HR forward runs + returns the full-res reconstruction
     x_rec, _, _ = m2.apply(v2, x, x, s, training=False)
     assert x_rec.shape == (1, 128, 128, 3)
+
+
+def test_flow_predictor_s2d_packed_exact():
+    """FlowPredictor s2d(2) packing (round-5 perf, VERDICT r04 #8): the
+    packed conv5 stack must match the unpacked stack exactly (same canonical
+    param shapes — checkpoint compatible), and odd sizes fall back to r=1."""
+    import numpy as np
+    from fvc.models.elfvc import FlowPredictor
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 32, 48, 9).astype(np.float32))
+    m2 = FlowPredictor(s2d_max=2)
+    m1 = FlowPredictor(s2d_max=1)
+    v = m2.init(jax.random.PRNGKey(0), x)
+    v = jax.tree_util.tree_map(lambda a: jnp.asarray(
+        rng.randn(*a.shape).astype(np.float32) * 0.05), v)
+    np.testing.assert_allclose(np.asarray(m2.apply(v, x)),
+                               np.asarray(m1.apply(v, x)), atol=1e-4)
+    x_odd = jnp.asarray(rng.randn(1, 31, 48, 9).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(m2.apply(v, x_odd)),
+                               np.asarray(m1.apply(v, x_odd)), atol=1e-4)
