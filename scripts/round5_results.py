@@ -144,7 +144,23 @@ def main():
         mj_bpp.append(float(np.mean([r["bpp"] for r in rows])))
         mj_psnr.append(float(np.mean([r["psnr"] for r in rows])))
 
-    lsvc_c, dvc_c = results["LSVC"][1], results["DVC"][1]
+    def monotone(curve):
+        """Drop broken ladder points before BD integration: a level whose
+        PSNR falls below the previous (cheaper) level's is a diverged/
+        undertrained checkpoint, and feeding it to the piecewise-cubic BD
+        fit corrupts the whole integral. The TABLES still show every row."""
+        bpp, psnr, levels = [], [], []
+        for b, p, l in zip(curve["bpp"], curve["psnr"], curve["levels"]):
+            if psnr and p < psnr[-1]:
+                print(f"# BD: dropping non-monotone point l{l} "
+                      f"({p:.2f} dB @ {b:.3f} bpp)", flush=True)
+                continue
+            bpp.append(b); psnr.append(p); levels.append(l)
+        return {"bpp": bpp, "psnr": psnr, "levels": levels,
+                "codec": curve["codec"]}
+
+    lsvc_c = monotone(results["LSVC"][1])
+    dvc_c = monotone(results["DVC"][1])
     bd_lsvc_vs_dvc = bd_rate(dvc_c["bpp"], dvc_c["psnr"],
                              lsvc_c["bpp"], lsvc_c["psnr"])
     bdp_lsvc_vs_dvc = bd_psnr(dvc_c["bpp"], dvc_c["psnr"],
