@@ -144,14 +144,19 @@ def fused_mebasic_tiles(x, params, *, block_rows: int = 16):
 
         def mask_outside(h, layer):
             # zero positions outside the image so the next conv sees the
-            # zeros XLA's per-layer SAME padding would have given it
+            # zeros XLA's per-layer SAME padding would have given it.
+            # 3-D iota: expanding a 2-D i1 mask via [..., None] hits
+            # Mosaic's "insertion of minor dim only supported for 32-bit
+            # types" (the round-4 'HTTP 500 on any non-trivial kernel'
+            # had THIS as a co-trigger, not just program size).
             rows, cols = h.shape[0], h.shape[1]
             g_row0 = i * block_rows - HALO + layer * PAD
-            r = g_row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+            r = g_row0 + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, cols, 1), 0)
             c = (-HALO + layer * PAD
-                 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1))
+                 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 1))
             ok = ((r >= 0) & (r < H) & (c >= 0) & (c < W))
-            return h * ok[..., None].astype(h.dtype)
+            return h * ok.astype(h.dtype)
 
         x_t = x_ref[0, 0]
         h = _conv7_rows(x_t, w1[:], rows_in - 2 * PAD,

@@ -100,13 +100,15 @@ def fused_resblock(x, params, *, block_rows: int = 32, compute_dtype=None):
                         rows_in - 2 * PAD, W + 2 * HALO - 2 * PAD, cdt)
         h = jax.nn.relu(h + b1_ref[:])
         # re-zero intermediate positions outside the image (XLA's conv2
-        # input is zero there via its own SAME padding)
+        # input is zero there via its own SAME padding). NB: 3-D iota — a
+        # 2-D bool mask expanded via [..., None] hits Mosaic's "insertion
+        # of minor dim only supported for 32-bit types" on i1 vectors.
         rows, cols = h.shape[0], h.shape[1]
         r = (i * block_rows - PAD
-             + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0))
-        c = (-PAD + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1))
+             + jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 0))
+        c = (-PAD + jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 1))
         ok = (r >= 0) & (r < H) & (c >= 0) & (c < W)
-        h = h * ok[..., None].astype(h.dtype)
+        h = h * ok.astype(h.dtype)
         y = _conv3_rows(h, w2_ref[:], block_rows, W, cdt) + b2_ref[:]
         o_ref[0] = (x_t[HALO:HALO + block_rows, HALO:HALO + W]
                     .astype(jnp.float32) + y).astype(out_dt)
