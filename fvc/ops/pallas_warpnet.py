@@ -55,13 +55,19 @@ def _conv3_rows(x, w, rows_out, width_out, cdt):
     return acc.reshape(rows_out, width_out, cout)
 
 
-def fused_resblock(x, params, *, block_rows: int = 32, compute_dtype=None):
+def fused_resblock(x, params, *, block_rows: int = 32, block_cols: int = 256,
+                   compute_dtype=None):
     """out = x + conv2(relu(conv1(relu(x)))), both convs 3x3 SAME, channels
     preserved (the WarpNet ResBlock shape, models.py:771-794).
 
     x: [B, H, W, C]; params: {'Conv_0': {kernel, bias}, 'Conv_1': ...}.
     compute_dtype: dot-operand dtype (None = x.dtype); accumulation is
     always f32 and the output keeps x.dtype.
+
+    Tiled over rows AND columns: the full-width (964-col) variant hangs
+    this container's Mosaic helper; ~256-col tiles keep each of the 18
+    dots narrow. Overlap cost on the input tile is
+    (br+4)(bc+4)/(br*bc) ~ 1.15x at 32x256.
     """
     B, H, W, C = x.shape
     w1 = params["Conv_0"]["kernel"]
@@ -73,54 +79,67 @@ def fused_resblock(x, params, *, block_rows: int = 32, compute_dtype=None):
     cdt = compute_dtype or x.dtype
     out_dt = x.dtype
 
-    n_blocks = -(-H // block_rows)
-    pad_h = n_blocks * block_rows - H
+    block_cols = min(block_cols, W)
+    n_h = -(-H // block_rows)
+    n_w = -(-W // block_cols)
+    pad_h = n_h * block_rows - H
+    pad_w = n_w * block_cols - W
     rows_in = block_rows + 2 * HALO
-    xp = jnp.pad(x, ((0, 0), (HALO, HALO + pad_h), (HALO, HALO), (0, 0)))
-    # [B, n_blocks, rows_in, W+2*HALO, C] — static strided row windows
-    tiles = jnp.stack(
+    cols_in = block_cols + 2 * HALO
+    xp = jnp.pad(x, ((0, 0), (HALO, HALO + pad_h), (HALO, HALO + pad_w),
+                     (0, 0)))
+    # [B, n_h, n_w, rows_in, cols_in, C] — static strided windows
+    rows = jnp.stack(
         [jax.lax.slice_in_dim(xp, i * block_rows, i * block_rows + rows_in,
-                              axis=1) for i in range(n_blocks)], axis=1)
+                              axis=1) for i in range(n_h)], axis=1)
+    tiles = jnp.stack(
+        [jax.lax.slice_in_dim(rows, j * block_cols,
+                              j * block_cols + cols_in, axis=3)
+         for j in range(n_w)], axis=2)
 
     in_specs = [
-        pl.BlockSpec((1, 1, rows_in, W + 2 * HALO, C),
-                     lambda b, i: (b, i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, K, C, C), lambda b, i: (0, 0, 0, 0),
+        pl.BlockSpec((1, 1, 1, rows_in, cols_in, C),
+                     lambda b, i, j: (b, i, j, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((C,), lambda b, i: (0,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, K, C, C), lambda b, i: (0, 0, 0, 0),
+        pl.BlockSpec((K, K, C, C), lambda b, i, j: (0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((C,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda b, i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, K, C, C), lambda b, i, j: (0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda b, i, j: (0,), memory_space=pltpu.VMEM),
     ]
 
     def kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
         i = pl.program_id(1)
-        x_t = x_ref[0, 0]
+        j = pl.program_id(2)
+        x_t = x_ref[0, 0, 0]
         h = _conv3_rows(jax.nn.relu(x_t), w1_ref[:],
-                        rows_in - 2 * PAD, W + 2 * HALO - 2 * PAD, cdt)
+                        rows_in - 2 * PAD, cols_in - 2 * PAD, cdt)
         h = jax.nn.relu(h + b1_ref[:])
         # re-zero intermediate positions outside the image (XLA's conv2
         # input is zero there via its own SAME padding). NB: 3-D iota — a
         # 2-D bool mask expanded via [..., None] hits Mosaic's "insertion
-        # of minor dim only supported for 32-bit types" on i1 vectors.
-        rows, cols = h.shape[0], h.shape[1]
+        # of minor dim that is not a no-op only supported for 32-bit
+        # types" on i1 vectors.
+        hr, hc = h.shape[0], h.shape[1]
         r = (i * block_rows - PAD
-             + jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 0))
-        c = (-PAD + jax.lax.broadcasted_iota(jnp.int32, (rows, cols, 1), 1))
+             + jax.lax.broadcasted_iota(jnp.int32, (hr, hc, 1), 0))
+        c = (j * block_cols - PAD
+             + jax.lax.broadcasted_iota(jnp.int32, (hr, hc, 1), 1))
         ok = (r >= 0) & (r < H) & (c >= 0) & (c < W)
         h = h * ok.astype(h.dtype)
-        y = _conv3_rows(h, w2_ref[:], block_rows, W, cdt) + b2_ref[:]
-        o_ref[0] = (x_t[HALO:HALO + block_rows, HALO:HALO + W]
+        y = _conv3_rows(h, w2_ref[:], block_rows, block_cols, cdt) + b2_ref[:]
+        o_ref[0] = (x_t[HALO:HALO + block_rows, HALO:HALO + block_cols]
                     .astype(jnp.float32) + y).astype(out_dt)
 
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_blocks),
+        grid=(B, n_h, n_w),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_rows, W, C),
-                               lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, block_rows, block_cols, C),
+                               lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (B, n_blocks * block_rows, W, C), out_dt),
+            (B, n_h * block_rows, n_w * block_cols, C), out_dt),
     )(tiles, w1, b1, w2, b2)
-    return out[:, :H]
+    return out[:, :H, :W]
