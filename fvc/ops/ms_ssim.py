@@ -68,10 +68,15 @@ def ms_ssim(x: jax.Array, y: jax.Array, data_range: float = 1.0) -> jax.Array:
     for i in range(levels):
         ssim_val, cs = _ssim_terms(x, y, k, data_range)
         if i < levels - 1:
-            mcs.append(jax.nn.relu(cs))
+            mcs.append(cs)
             x = _pad_reflect_pool(x)
             y = _pad_reflect_pool(y)
-    mcs_stack = jnp.stack(mcs + [jax.nn.relu(ssim_val)], axis=0)  # [L, B]
+    # clamp at a small EPS, not 0: d/dx x**w at x=0 (0<w<1) is infinite, so
+    # one contrast-structure term dipping <= 0 on a degraded model poisons
+    # the whole gradient with NaN (observed: the M ladder's rollback loop on
+    # the round-5 hard corpus). At eps=1e-6 the metric is unchanged for any
+    # non-broken reconstruction (cs ~ 0.5+).
+    mcs_stack = jnp.maximum(jnp.stack(mcs + [ssim_val], axis=0), 1e-6)
     return jnp.prod(mcs_stack ** weights[:, None], axis=0)
 
 
