@@ -9,10 +9,18 @@ each dispatch a low-utilization kernel and bounce intermediates through HBM.
 Each WarpNet ResBlock is two 3x3 64->64 convs; fusing the pair keeps the
 intermediate in VMEM and halves the dispatch count of the U-net body.
 
-Mosaic status (round-5 probe): this container's remote-compile helper now
-accepts medium kernels — 18-dot two-layer conv chains and 49-dot 7x7 convs
-compile (round 4 it 500'd on anything non-trivial); only the 245-dot fused
-MEBasic still fails. This kernel is an 18-dot program.
+Mosaic status (round-5 probes, docs/PERF_r05.log + ROUND5_NOTES):
+- the round-4 "helper 500s on anything non-trivial" had an i1-mask bug of
+  OURS as a co-trigger (bool [..., None] minor-dim insert) — fixed here
+  with 3-D iotas; small 18-dot chains and 49-dot 7x7 convs now compile.
+- THIS kernel still does not deploy on the container's toolchain: the
+  full-width tile hangs the helper, and every halo'd tiling tried
+  (32x256 / 16x256 / 32x192, reshape-free 3-D dots) trips the 16 MiB
+  scoped-VMEM stack limit with an erratically scaling allocation
+  (17.3M / 46.3M / 66.6M) — the +4 halo breaks (8,128) lane alignment,
+  forcing in-stack relayouts. A deployable variant needs aligned tiles
+  with in-register shifts instead of halo'd loads; left gated off
+  (FVC_PALLAS_WARPNET) with the XLA path as default.
 
 Tiling mirrors fvc.ops.pallas_spynet.fused_mebasic_tiles: XLA-side
 materialized overlapping row tiles + affine BlockSpecs only (no dynamic
@@ -41,21 +49,23 @@ HALO = 2 * PAD    # two conv layers
 
 def _conv3_rows(x, w, rows_out, width_out, cdt):
     """x: [rows_out+2, width_out+2, Cin], w: [3, 3, Cin, Cout]; valid conv.
-    Nine taps as [rows*W, Cin] @ [Cin, Cout] MXU dots, f32 accumulation."""
-    cin = x.shape[-1]
+    Nine taps as 3-D [rows, W, Cin] x [Cin, Cout] dot_generals — no
+    flatten-reshape (the [rows*W, Cin] flatten materialized per-tap copies
+    on Mosaic's scoped-VMEM stack and blew the 16 MiB limit)."""
     cout = w.shape[-1]
-    acc = jnp.zeros((rows_out * width_out, cout), jnp.float32)
+    acc = jnp.zeros((rows_out, width_out, cout), jnp.float32)
     for ki in range(K):
         row_slab = x[ki:ki + rows_out]
         for kj in range(K):
-            tap = row_slab[:, kj:kj + width_out].reshape(
-                rows_out * width_out, cin)
-            acc = acc + jnp.dot(tap.astype(cdt), w[ki, kj].astype(cdt),
-                                preferred_element_type=jnp.float32)
-    return acc.reshape(rows_out, width_out, cout)
+            tap = row_slab[:, kj:kj + width_out]
+            acc = acc + jax.lax.dot_general(
+                tap.astype(cdt), w[ki, kj].astype(cdt),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return acc
 
 
-def fused_resblock(x, params, *, block_rows: int = 32, block_cols: int = 256,
+def fused_resblock(x, params, *, block_rows: int = 16, block_cols: int = 256,
                    compute_dtype=None):
     """out = x + conv2(relu(conv1(relu(x)))), both convs 3x3 SAME, channels
     preserved (the WarpNet ResBlock shape, models.py:771-794).
@@ -65,9 +75,9 @@ def fused_resblock(x, params, *, block_rows: int = 32, block_cols: int = 256,
     always f32 and the output keeps x.dtype.
 
     Tiled over rows AND columns: the full-width (964-col) variant hangs
-    this container's Mosaic helper; ~256-col tiles keep each of the 18
-    dots narrow. Overlap cost on the input tile is
-    (br+4)(bc+4)/(br*bc) ~ 1.15x at 32x256.
+    this container's Mosaic helper, and 32x256 tiles exceed the 16 MiB
+    scoped-VMEM stack limit (measured 17.32M); 16x256 fits. Overlap cost
+    on the input tile is (br+4)(bc+4)/(br*bc) ~ 1.27x at 16x256.
     """
     B, H, W, C = x.shape
     w1 = params["Conv_0"]["kernel"]
