@@ -22,6 +22,9 @@ run python scripts/train_multiview.py --benchmark --category office \
 run python scripts/train_multiview.py --olft --category office \
     --steps 30 --size 128 --gop 4 --lr 1e-5 --ckpt "$MV_CKPT"
 
+# 1b. ELFVC-SP per-stage SoL table (VERDICT r04 #8 "Done" clause)
+run bash -c "python scripts/profile_elfvc.py --codec ELFVC-SP-HR --pyramid >> docs/PERF_r05.log 2>&1"
+
 # 2. the RD deliverable (real rANS bitstreams on the hard corpus, EMA
 #    ladders, BD-rates, drift gates, provenance steps)
 run python scripts/round5_results.py --gop 8 --clips 3 ${SKIP_ABL:+--skip-ablation}
