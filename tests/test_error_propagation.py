@@ -43,15 +43,17 @@ def test_lsvc_tree_gop8_drift_bounded():
     assert drift <= 2.0, f"LSVC tree drift {drift:+.2f} dB: {pf}"
 
 
-@pytest.mark.skipif(not os.path.isdir("trained/dvc_ladder_l2"),
-                    reason="trained DVC checkpoint not present")
+@pytest.mark.skipif(not os.path.isdir("trained/dvc_ladder_ema_l2"),
+                    reason="trained DVC EMA checkpoint not present")
 def test_dvc_gop8_drift_regression_backstop():
     """DVC's sequential chain drifts; measured +5.5 dB over GOP-8 at round 4
-    (undertrained MC/warp at long GOPs — the gop-7 training chunk OOMs with
-    a 4-level vmapped ladder; split-ladder gop-7 chunks are the round-5
-    path to the reference's <=2 dB). This backstop only guards against
-    REGRESSION (e.g. a scan-engine change breaking the detach semantics or
-    a checkpoint swap landing a broken model)."""
-    pf, drift = _drift("DVC", "trained/dvc_ladder_l2")
+    and +6.1 dB on the EMA params mid round 5 after the hard-corpus gop-7
+    fine-tune began (the raw step params drift ~1 dB more — the backstop
+    tracks the EMA checkpoint because that is what eval/bench report).
+    Still short of the reference's <=2 dB (plot_hermes.py:814-831); the
+    split-ladder gop-7 chunks are the training path. This backstop only
+    guards against REGRESSION (e.g. a scan-engine change breaking the
+    detach semantics or a checkpoint swap landing a broken model)."""
+    pf, drift = _drift("DVC", "trained/dvc_ladder_ema_l2")
     assert pf[0] > 28.0, f"first P-frame too weak: {pf}"
     assert drift <= 7.0, f"DVC drift {drift:+.2f} dB: {pf}"
