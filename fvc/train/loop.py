@@ -665,13 +665,22 @@ def train_multiview_olft(model, cfg: CodecConfig, dataset, *,
     def step_fn(params, opt_state, frames, mask, key):
         def loss_fn(p):
             out = model.apply(p, frames, mask, training=True, rng=key)
-            # touch-up supervision: replace top-r% error pixels with truth
+            # touch-up supervision: the server corrects the top-r% error
+            # pixels of the FINAL reconstruction the viewer sees (x_hat,
+            # the enhanced output) with truth, and the online model
+            # self-distills from that corrected frame
+            # (replace_elements models.py:2192-2235; train_multiview.py
+            # :213-303). Supervising against the raw pre-enhancement
+            # decoder output (x_ref) instead pulls the enhanced path
+            # DOWN toward the raw one — measured as a monotone 16->6 dB
+            # PSNR collapse over 30 OLFT steps (round 5).
             touched = jax.vmap(
                 lambda r, t: replace_topk_pixels(r, t, cfg.sample_ratio)[0]
-            )(out["x_ref"], frames)
+            )(out["x_hat"], frames)
             m = mask[None, :, None, None, None]
             denom = jnp.maximum(
-                jnp.sum(m) * frames.shape[2] * frames.shape[3] * 3, 1.0)
+                jnp.sum(m) * frames.shape[0]
+                * frames.shape[2] * frames.shape[3] * 3, 1.0)
             mse = jnp.sum(jnp.square(
                 (out["x_hat"] - jax.lax.stop_gradient(touched)) * m)) / denom
             # viewer-facing quality: PSNR vs TRUE frames on surviving views
